@@ -1,0 +1,152 @@
+"""Auction-algorithm approximate Earth Mover's Distance, TPU-native.
+
+Re-implements the reference CUDA auction EMD (reference:
+python/difffacto/metrics/emd/emd_cuda.cu:23-284, wrapper emd_module.py:32-104)
+as a vectorized ``lax.while_loop``:
+
+* value of object j for bidder i: ``3 - ||x_i - y_j|| - price_j`` (clouds are
+  expected roughly in the unit box, emd_cuda.cu:146);
+* every unassigned point bids ``best - better + eps`` on its best object
+  (Bid kernel, emd_cuda.cu:95-180);
+* each object accepts the highest bid, evicting the previous owner
+  (GetMax/Assign kernels, emd_cuda.cu:182-217);
+* on the final iteration all remaining bidders are force-assigned
+  (``last`` flag in Assign);
+* returns per-point squared distances to the matched point plus the
+  assignment, like emdFunction (emd_module.py:33-64).
+
+Design deltas from CUDA — all TPU-motivated, not semantic:
+* the (n, n) distance matrix is computed once per pair on the MXU instead of
+  streamed through shared memory each iteration;
+* the bid/accept/assign phases are dense masked vector ops; the CUDA
+  unassigned-compaction machinery (calc_unass_*) is unnecessary because XLA
+  ops are O(n) regardless;
+* early exit when every point is assigned (the CUDA loop always runs
+  ``iters`` times even when converged).
+
+Gradient flows only to ``xyz1`` through the matched squared distance, matching
+the reference backward (NmDistanceGradKernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .points import square_distance
+
+_NEG = -1e9
+
+
+def _auction_single(d: jnp.ndarray, eps: float, iters: int):
+    """Run the auction for one pair given the L2-norm distance matrix d (n, n).
+
+    Returns (assignment (n,) int32, price (n,) f32).
+    """
+    n = d.shape[0]
+    arange = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        it, assignment, _, _ = state
+        return jnp.logical_and(it < iters, jnp.any(assignment < 0))
+
+    def body(state):
+        it, assignment, assignment_inv, price = state
+        last = it >= iters - 1
+        unass = assignment < 0  # (n,)
+
+        value = 3.0 - d - price[None, :]  # (n, n)
+        top2, top2_idx = jax.lax.top_k(value, 2)
+        best, better = top2[:, 0], top2[:, 1]
+        bid = top2_idx[:, 0].astype(jnp.int32)  # (n,)
+        inc = best - better + eps
+
+        # Highest bid per object (only unassigned bidders participate).
+        bid_or_void = jnp.where(unass, bid, n)  # route assigned bids to slot n
+        max_inc = (
+            jnp.full((n + 1,), _NEG, d.dtype).at[bid_or_void].max(inc)[:n]
+        )
+        # Deterministic winner per object: the largest bidder index whose
+        # increment matches the max (CUDA resolves this race arbitrarily).
+        is_top = jnp.logical_and(unass, inc >= max_inc[bid] - 1e-6)
+        max_idx = (
+            jnp.full((n + 1,), -1, jnp.int32)
+            .at[jnp.where(is_top, bid, n)]
+            .max(jnp.where(is_top, arange, -1))[:n]
+        )
+        winner = jnp.logical_and(unass, max_idx[bid] == arange)
+        winner = jnp.logical_or(winner, jnp.logical_and(unass, last))
+
+        won_j = jnp.where(winner, bid, n)
+        # Evict previous owners of objects that changed hands (not on last).
+        j_new_owner = (
+            jnp.full((n + 1,), -1, jnp.int32).at[won_j].max(jnp.where(winner, arange, -1))[:n]
+        )
+        taken = j_new_owner >= 0
+        evicted_owner = jnp.where(jnp.logical_and(taken, ~last), assignment_inv, -1)
+        evict_idx = jnp.where(evicted_owner >= 0, evicted_owner, n)
+        evicted = jnp.zeros((n + 1,), bool).at[evict_idx].set(True)[:n]
+        assignment = jnp.where(evicted, -1, assignment)
+
+        assignment = jnp.where(winner, bid, assignment)
+        assignment_inv = jnp.where(taken, j_new_owner, assignment_inv)
+        price = price + jnp.full((n + 1,), 0.0, d.dtype).at[won_j].max(
+            jnp.where(winner, inc, 0.0)
+        )[:n]
+        return it + 1, assignment, assignment_inv, price
+
+    init = (
+        jnp.int32(0),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), d.dtype),
+    )
+    _, assignment, _, price = jax.lax.while_loop(cond, body, init)
+    return assignment, price
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def emd(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.005, iters: int = 50):
+    """Approximate EMD: (B, n, 3) x (B, n, 3) -> (dist (B, n), assignment (B, n)).
+
+    ``dist`` is the squared distance from each x1 point to its matched x2
+    point; ``sqrt(dist).mean(1)`` reproduces the reference metric wrapper
+    (emd_module.py:83-87). Reference knobs: eps=0.005/iters=50 for training,
+    eps=0.002/iters=10000 for eval (metrics/emd/README.md).
+    """
+    return _emd_fwd_impl(xyz1, xyz2, eps, iters)
+
+
+def _emd_fwd_impl(xyz1, xyz2, eps, iters):
+    d2 = square_distance(xyz1, xyz2)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    assignment, _ = jax.vmap(lambda dd: _auction_single(dd, eps, iters))(d)
+    matched = jnp.take_along_axis(xyz2, assignment[..., None].astype(jnp.int32), axis=1)
+    dist = jnp.sum((xyz1 - matched) ** 2, axis=-1)
+    return dist, assignment
+
+
+def _emd_fwd(xyz1, xyz2, eps, iters):
+    dist, assignment = _emd_fwd_impl(xyz1, xyz2, eps, iters)
+    return (dist, assignment), (xyz1, xyz2, assignment)
+
+
+def _emd_bwd(eps, iters, res, grads):
+    xyz1, xyz2, assignment = res
+    g_dist, _ = grads
+    matched = jnp.take_along_axis(xyz2, assignment[..., None].astype(jnp.int32), axis=1)
+    # d/dxyz1 of ||x1 - matched||^2 = 2 (x1 - matched); no grad to xyz2
+    # (reference computes gradxyz1 only, emd_module.py:66-73).
+    g1 = 2.0 * (xyz1 - matched) * g_dist[..., None]
+    return g1, jnp.zeros_like(xyz2)
+
+
+emd.defvjp(_emd_fwd, _emd_bwd)
+
+
+def emd_cost(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iters: int = 10000) -> jnp.ndarray:
+    """Mean L2 matched distance per cloud -> (B,). Reference's ``EMD(dist_only=True)``."""
+    dist, _ = emd(xyz1, xyz2, eps, iters)
+    return jnp.sqrt(jnp.maximum(dist, 0.0)).mean(axis=1)

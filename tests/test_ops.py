@@ -1,0 +1,240 @@
+"""Unit tests for the ops layer against brute-force numpy references.
+
+Golden values for the diffusion schedule follow the reference constructor
+math (anchored_diffusion.py:62-126) recomputed independently in numpy here.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from difffacto_tpu.ops import (
+    ball_query,
+    chamfer_split,
+    chamfer_split_tiled,
+    ddim_steps,
+    emd,
+    emd_cost,
+    fps,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+    make_schedule,
+    pairwise_chamfer,
+    square_distance,
+    three_interpolate,
+    three_nn,
+)
+from difffacto_tpu.ops.schedule import extract
+
+
+class TestSchedule:
+    def test_linear_schedule_golden(self):
+        T, b1, bT = 100, 1e-4, 0.02
+        s = make_schedule(T, b1, bT, "linear")
+        betas = np.linspace(b1, bT, T, dtype=np.float64)
+        alphas = 1.0 - betas
+        acp = np.cumprod(alphas)
+        acp_prev = np.append(1.0, acp[:-1])
+        np.testing.assert_allclose(np.asarray(s.betas), betas, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s.alphas_cumprod), acp, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s.sqrt_recipm1_alphas_cumprod), np.sqrt(1 / acp - 1), rtol=1e-5
+        )
+        post_var = betas * (1 - acp_prev) / (1 - acp)
+        np.testing.assert_allclose(np.asarray(s.posterior_variance), post_var, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s.posterior_log_variance_clipped),
+            np.log(np.append(post_var[1], post_var[1:])),
+            rtol=1e-5,
+        )
+        coef3 = 1.0 + ((np.sqrt(acp) - 1.0) * (np.sqrt(acp_prev) + np.sqrt(alphas))) / (
+            1.0 - acp
+        )
+        np.testing.assert_allclose(np.asarray(s.posterior_mean_coef3), coef3, rtol=1e-5)
+
+    def test_cosine_schedule_valid(self):
+        s = make_schedule(50, 1e-4, 0.02, "cosine")
+        b = np.asarray(s.betas)
+        assert (b > 0).all() and (b <= 0.999).all()
+
+    def test_ddim_steps(self):
+        np.testing.assert_array_equal(
+            ddim_steps(100, 25, "uniform"), np.arange(0, 100, 4)
+        )
+        quad = ddim_steps(100, 25, "quad")
+        assert quad[0] == 0 and quad[-1] <= 80 and len(quad) == 25
+
+    def test_extract(self):
+        arr = jnp.arange(10.0)
+        t = jnp.array([0, 3, 9])
+        out = extract(arr, t, 3)
+        assert out.shape == (3, 1, 1)
+        np.testing.assert_allclose(np.asarray(out).ravel(), [0, 3, 9])
+
+
+class TestPoints:
+    def test_square_distance(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 5, 3).astype(np.float32)
+        y = rng.randn(2, 7, 3).astype(np.float32)
+        d = np.asarray(square_distance(jnp.array(x), jnp.array(y)))
+        ref = ((x[:, :, None] - y[:, None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d, ref, atol=1e-4)
+
+    def test_gather_points(self):
+        rng = np.random.RandomState(1)
+        p = rng.randn(2, 4, 10).astype(np.float32)
+        idx = rng.randint(0, 10, (2, 6)).astype(np.int32)
+        out = np.asarray(gather_points(jnp.array(p), jnp.array(idx)))
+        for b in range(2):
+            np.testing.assert_allclose(out[b], p[b][:, idx[b]])
+
+    def test_fps_maximin(self):
+        """Each selected point is the farthest (max-min) from prior picks."""
+        rng = np.random.RandomState(2)
+        pts = rng.randn(1, 64, 3).astype(np.float32)
+        idx = np.asarray(furthest_point_sample(jnp.array(pts), 8))[0]
+        assert idx[0] == 0
+        chosen = [0]
+        d = ((pts[0] - pts[0, 0]) ** 2).sum(-1)
+        for k in range(1, 8):
+            expect = int(np.argmax(d))
+            assert idx[k] == expect
+            chosen.append(expect)
+            d = np.minimum(d, ((pts[0] - pts[0, expect]) ** 2).sum(-1))
+        assert len(set(chosen)) == 8
+
+    def test_fps_gather(self):
+        rng = np.random.RandomState(3)
+        pts = rng.randn(2, 100, 3).astype(np.float32)
+        out, idx = fps(jnp.array(pts), 16, ret_id=True)
+        out, idx = np.asarray(out), np.asarray(idx)
+        for b in range(2):
+            np.testing.assert_allclose(out[b], pts[b][idx[b]])
+
+    def test_ball_query(self):
+        rng = np.random.RandomState(4)
+        pts = rng.rand(1, 50, 3).astype(np.float32)
+        centers = pts[:, :5]
+        radius, k = 0.3, 8
+        idx = np.asarray(ball_query(jnp.array(centers), jnp.array(pts), radius, k))[0]
+        d = ((centers[0][:, None] - pts[0][None]) ** 2).sum(-1)
+        for s in range(5):
+            inball = np.where(d[s] < radius**2)[0]
+            got = idx[s]
+            # every returned index must be in-ball (point s itself is center, so nonempty)
+            assert set(got).issubset(set(inball.tolist()))
+            # first k in-ball points by index order must appear
+            expect = inball[:k]
+            np.testing.assert_array_equal(np.unique(got), np.unique(
+                np.concatenate([expect, expect[:1].repeat(max(0, k - len(expect)))])
+            ))
+
+    def test_three_nn_interpolate(self):
+        rng = np.random.RandomState(5)
+        unknown = rng.randn(1, 20, 3).astype(np.float32)
+        known = rng.randn(1, 6, 3).astype(np.float32)
+        feats = rng.randn(1, 4, 6).astype(np.float32)
+        dist, idx = three_nn(jnp.array(unknown), jnp.array(known))
+        dist, idx = np.asarray(dist), np.asarray(idx)
+        d_ref = np.sqrt(((unknown[0][:, None] - known[0][None]) ** 2).sum(-1))
+        np.testing.assert_allclose(np.sort(dist[0], -1)[:, 0], d_ref.min(-1), atol=1e-5)
+        w = 1.0 / np.maximum(dist, 1e-8)
+        w = w / w.sum(-1, keepdims=True)
+        out = np.asarray(
+            three_interpolate(jnp.array(feats), jnp.array(idx), jnp.array(w))
+        )
+        ref = np.einsum("cnk->cn", feats[0][:, idx[0]] * w[0][None])
+        np.testing.assert_allclose(out[0], ref, atol=1e-4)
+
+    def test_group_points(self):
+        rng = np.random.RandomState(6)
+        p = rng.randn(1, 3, 10).astype(np.float32)
+        idx = rng.randint(0, 10, (1, 4, 5)).astype(np.int32)
+        out = np.asarray(group_points(jnp.array(p), jnp.array(idx)))
+        assert out.shape == (1, 3, 4, 5)
+        np.testing.assert_allclose(out[0, :, 2, 3], p[0][:, idx[0, 2, 3]])
+
+
+class TestChamfer:
+    def test_vs_bruteforce(self):
+        rng = np.random.RandomState(7)
+        x = rng.randn(3, 32, 3).astype(np.float32)
+        y = rng.randn(3, 48, 3).astype(np.float32)
+        dl, dr = chamfer_split(jnp.array(x), jnp.array(y))
+        d = ((x[:, :, None] - y[:, None]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(dl), d.min(2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dr), d.min(1), atol=1e-4)
+
+    def test_tiled_matches(self):
+        rng = np.random.RandomState(8)
+        x = rng.randn(2, 32, 3).astype(np.float32)
+        y = rng.randn(2, 64, 3).astype(np.float32)
+        dl0, dr0 = chamfer_split(jnp.array(x), jnp.array(y))
+        dl1, dr1 = chamfer_split_tiled(jnp.array(x), jnp.array(y), tile=16)
+        np.testing.assert_allclose(np.asarray(dl0), np.asarray(dl1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dr0), np.asarray(dr1), atol=1e-4)
+
+    def test_pairwise(self):
+        rng = np.random.RandomState(9)
+        s = rng.randn(4, 16, 3).astype(np.float32)
+        r = rng.randn(5, 16, 3).astype(np.float32)
+        M = np.asarray(pairwise_chamfer(jnp.array(s), jnp.array(r)))
+        assert M.shape == (4, 5)
+        # check one entry by brute force
+        d = ((s[1][:, None] - r[2][None]) ** 2).sum(-1)
+        np.testing.assert_allclose(M[1, 2], d.min(1).mean() + d.min(0).mean(), rtol=1e-4)
+
+    def test_chamfer_grad(self):
+        x = jnp.array(np.random.RandomState(10).randn(1, 8, 3), jnp.float32)
+        y = jnp.array(np.random.RandomState(11).randn(1, 8, 3), jnp.float32)
+        g = jax.grad(lambda a: chamfer_split(a, y)[0].sum())(x)
+        assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+class TestEMD:
+    def test_identity_assignment(self):
+        """Matching a cloud to itself costs ~0."""
+        rng = np.random.RandomState(12)
+        x = rng.rand(2, 64, 3).astype(np.float32)
+        dist, assign = emd(jnp.array(x), jnp.array(x), 0.002, 5000)
+        assert np.asarray(dist).mean() < 1e-3
+
+    def test_vs_hungarian(self):
+        """Auction cost within a few percent of the optimal assignment."""
+        from scipy.optimize import linear_sum_assignment
+
+        rng = np.random.RandomState(13)
+        x = rng.rand(1, 64, 3).astype(np.float32)
+        y = rng.rand(1, 64, 3).astype(np.float32)
+        dist, assign = emd(jnp.array(x), jnp.array(y), 0.002, 5000)
+        ours = np.sqrt(np.asarray(dist)[0]).mean()
+        d = np.sqrt(((x[0][:, None] - y[0][None]) ** 2).sum(-1))
+        ri, ci = linear_sum_assignment(d)
+        optimal = d[ri, ci].mean()
+        assert ours >= optimal - 1e-5
+        assert ours <= optimal * 1.05 + 0.01
+
+    def test_assignment_bijective_when_converged(self):
+        rng = np.random.RandomState(14)
+        x = rng.rand(1, 32, 3).astype(np.float32)
+        y = rng.rand(1, 32, 3).astype(np.float32)
+        _, assign = emd(jnp.array(x), jnp.array(y), 0.005, 5000)
+        a = np.asarray(assign)[0]
+        assert len(np.unique(a)) == 32
+
+    def test_grad_flows_to_xyz1(self):
+        rng = np.random.RandomState(15)
+        x = jnp.array(rng.rand(1, 16, 3), jnp.float32)
+        y = jnp.array(rng.rand(1, 16, 3), jnp.float32)
+        g = jax.grad(lambda a: emd(a, y, 0.01, 500)[0].sum())(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_emd_cost_shape(self):
+        rng = np.random.RandomState(16)
+        x = jnp.array(rng.rand(3, 32, 3), jnp.float32)
+        y = jnp.array(rng.rand(3, 32, 3), jnp.float32)
+        c = emd_cost(x, y, 0.01, 1000)
+        assert c.shape == (3,) and np.isfinite(np.asarray(c)).all()
