@@ -1,0 +1,379 @@
+"""AnchorDiffAE orchestrator: part encoder -> anchors -> cross diffusion.
+
+Re-designs the reference orchestrator (reference:
+python/difffacto/models/networks/anchor_gen.py:30-1134) as one Flax module
+exposing pure methods, plus module-level jittable pipelines:
+
+* ``AnchorDiffAE.loss``            — the whole training forward (encoder +
+  prior/fit losses + q_sample + denoiser + mse/vb) as ONE jitted program;
+* ``AnchorDiffAE.denoise``         — one denoiser evaluation; bound into the
+  diffusion's ``lax.scan`` reverse chain by ``decode``;
+* ``decode(...)``                  — reverse diffusion chain (anchor_gen.py:145-169);
+* ``sample_generation(...)``       — unconditional generation: flow prior ->
+  CIMLE aligner hypotheses -> reverse chain (anchor_gen.py:1034-1084);
+* ``reconstruct(...)``             — encode a shape and re-decode it
+  (anchor_gen.py:1085-1128);
+* ``cache_noise_scores(...)``      — CIMLE best-of-N noise selection
+  (anchor_gen.py:807-836).
+
+Everything channel-last; every stochastic draw comes from named flax rngs
+('sample' for latents/noise, 'dropout' for training dropout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import DIFFUSIONS, ENCODERS, MODELS, NETS, SAMPLERS, build_from_cfg
+from .diffusion import AnchoredDiffusion
+from .part_encoder import gather_per_point
+from .samplers import Uniform
+
+
+def build_diffusion(diffusion_cfg: dict, num_timesteps: int) -> AnchoredDiffusion:
+    """Build the pure-math diffusion object from its config (net key removed)."""
+    cfg = dict(diffusion_cfg)
+    cfg.pop("type", None)
+    cfg.pop("net", None)
+    cfg["num_timesteps"] = num_timesteps
+    return AnchoredDiffusion(**cfg)
+
+
+@MODELS.register_module()
+class AnchorDiffAE(nn.Module):
+    """Constructor args mirror the reference (anchor_gen.py:32-80)."""
+
+    encoder: dict
+    diffusion: dict
+    sampler: dict
+    num_anchors: int
+    num_timesteps: int
+    npoints: int = 2048
+    zero_anchors: bool = False
+    gen: bool = False
+    sample_noise_num: int = 20
+    cimle: bool = False
+    cimle_sample_num: int = 10
+    diffusion_loss_weight: float = 1.0
+    use_input: bool = False
+    learn_var: bool = False
+    detach_variance: bool = True
+    detach_anchor: bool = True
+    ret_traj: bool = False
+    ret_interval: int = 20
+    interpolate_part_id: int = 2
+    fix_part_ids: Optional[tuple] = None
+    noise_reg_loss: bool = True
+    reg_loss_weight: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.encoder_mod = build_from_cfg(dict(self.encoder), ENCODERS, dtype=self.dtype)
+        net_cfg = dict(self.diffusion["net"])
+        self.net = build_from_cfg(net_cfg, NETS, dtype=self.dtype)
+        self.diff = build_diffusion(self.diffusion, self.num_timesteps)
+        self.t_sampler = build_from_cfg(
+            dict(self.sampler), SAMPLERS, num_timesteps=self.num_timesteps
+        )
+
+    # ------------------------------------------------------------ primitives
+    def denoise(self, x, t, ctx, anchors, variances, seg_mask, valid_id, train: bool = False):
+        """One denoiser call — the scan body for sampling, and the training net."""
+        return self.net(
+            x, t, ctx, anchors, variances, seg_mask, valid_id, deterministic=not train
+        )
+
+    def encode(self, batch, noise=None, epoch=-1, train: bool = False):
+        """Encoder forward passthrough (ctx, mean_pp, logvar_pp, flag_pp, losses, latents)."""
+        return self.encoder_mod(batch, noise=noise, epoch=epoch, train=train)
+
+    def sample_latents(self, sample_num, fixed_id=None, valid_id=None, epoch=0, K=None, part_code=None):
+        return self.encoder_mod.sample_latents(
+            sample_num,
+            self.npoints,
+            fixed_id=fixed_id,
+            valid_id=valid_id,
+            epoch=epoch,
+            K=self.cimle_sample_num if K is None else K,
+            part_code=part_code,
+        )
+
+    def sample_noise_candidates(self, batch, num=None):
+        return self.encoder_mod.sample_noise_candidates(
+            batch, self.sample_noise_num if num is None else num
+        )
+
+    # -------------------------------------------------------------- training
+    def loss(self, batch: Dict[str, jnp.ndarray], epoch=0) -> Dict[str, jnp.ndarray]:
+        """Full training loss (anchor_gen.py:970-1023), one jittable program."""
+        ref = batch["ref"]
+        seg_mask = batch["ref_seg_mask"].astype(jnp.int32)
+        valid_id = batch.get("present")
+        dp_valid_id = batch.get("dp_present")
+        B, N, _ = ref.shape
+
+        ctx, mean_pp, logvar_pp, flag_pp, loss_dict, latents = self.encoder_mod(
+            batch, epoch=epoch, train=True
+        )
+        if self.zero_anchors:
+            mean_pp = jnp.zeros_like(mean_pp)
+        # Reference computes variance BEFORE detaching logvar (anchor_gen.py:
+        # 1003 vs 1013-1014), so variance keeps its gradient; only the anchor
+        # is actually detached. Preserved deliberately.
+        variance_pp = jnp.exp(logvar_pp)
+        if self.detach_anchor:
+            mean_pp = jax.lax.stop_gradient(mean_pp)
+
+        t, _ = self.t_sampler.sample(self.make_rng("sample"), B)
+
+        dp_flags = None
+        if dp_valid_id is not None:
+            dp_flags = gather_per_point(dp_valid_id[..., None], seg_mask)[..., 0]
+
+        def model_fn(inp, ts, c, anc, var, seg, vid):
+            return self.denoise(inp, ts, c, anc, var, seg, vid, train=True)
+
+        x0 = batch["input"] if self.use_input else ref
+        diff_losses = self.diff.training_losses(
+            model_fn,
+            self.make_rng("sample"),
+            x0,
+            t,
+            anchors=mean_pp,
+            variance=variance_pp,
+            ctx=ctx,
+            seg_mask=seg_mask,
+            valid_id=dp_valid_id,
+            flags=dp_flags,
+        )
+        diff_losses["mse_loss"] = self.diffusion_loss_weight * diff_losses["mse_loss"]
+        loss_dict.update(diff_losses)
+        return loss_dict
+
+    # ----------------------------------------------------- eval-path helpers
+    def prepare_generation(self, sample_num, fixed_id, valid_id, epoch=0):
+        """Latents for unconditional generation (anchor_gen.py:1042).
+
+        Returns (ctx, mean_pp, variance_pp, seg_mask, valid_id, latents)
+        with leading dim sample_num * cimle_sample_num.
+        """
+        ctx, mean_pp, logvar_pp, seg_mask, valid_id, latents = self.sample_latents(
+            sample_num, fixed_id=fixed_id, valid_id=valid_id, epoch=epoch
+        )
+        return ctx, mean_pp, jnp.exp(logvar_pp), seg_mask, valid_id, latents
+
+    def prepare_reconstruction(self, batch, noise=None, epoch=-1):
+        """Latents for encode->decode eval (anchor_gen.py:1085-1095)."""
+        ctx, mean_pp, logvar_pp, flag_pp, _, latents = self.encoder_mod(
+            batch, noise=noise, epoch=epoch, train=False
+        )
+        return ctx, mean_pp, jnp.exp(logvar_pp), latents
+
+
+# ---------------------------------------------------------------------------
+# Pure pipelines over a bound (module, variables) pair.
+#
+# Each pipeline is jitted once per (model, static-arg) combination and cached:
+# eager per-op dispatch on this host is ~100x slower than compiled execution,
+# and on TPU jit is mandatory anyway.
+# ---------------------------------------------------------------------------
+
+_PIPELINE_CACHE: dict = {}
+
+
+def _cached_jit(key, build):
+    fn = _PIPELINE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build())
+        _PIPELINE_CACHE[key] = fn
+    return fn
+
+
+def _model_fn(model: AnchorDiffAE, variables, train: bool = False, rngs=None):
+    def fn(inp, ts, ctx, anchors, variance, seg_mask, valid_id):
+        return model.apply(
+            variables,
+            inp,
+            ts,
+            ctx,
+            anchors,
+            variance,
+            seg_mask,
+            valid_id,
+            train,
+            method=AnchorDiffAE.denoise,
+            rngs=rngs,
+        )
+
+    return fn
+
+
+def decode(
+    model: AnchorDiffAE,
+    variables,
+    rng,
+    anchors,
+    ctx=None,
+    variance=None,
+    seg_mask=None,
+    valid_id=None,
+    noise=None,
+    ret_traj: Optional[bool] = None,
+    ret_interval: Optional[int] = None,
+):
+    """Reverse diffusion chain (anchor_gen.py:145-169) as one lax.scan program."""
+    ret_traj = model.ret_traj if ret_traj is None else ret_traj
+    ret_interval = model.ret_interval if ret_interval is None else ret_interval
+
+    def build():
+        diff = build_diffusion(model.diffusion, model.num_timesteps)
+
+        def run(variables, rng, anchors, ctx, variance, seg_mask, valid_id, noise):
+            return diff.p_sample_loop(
+                _model_fn(model, variables),
+                rng,
+                anchors,
+                ctx=ctx,
+                variance=variance,
+                seg_mask=seg_mask,
+                valid_id=valid_id,
+                noise=noise,
+                ret_traj=ret_traj,
+                ret_interval=ret_interval,
+            )
+
+        return run
+
+    fn = _cached_jit(("decode", id(model), ret_traj, ret_interval), build)
+    return fn(variables, rng, anchors, ctx, variance, seg_mask, valid_id, noise)
+
+
+def sample_generation(
+    model: AnchorDiffAE,
+    variables,
+    rng,
+    sample_num: int,
+    valid_id=None,
+    fixed_id=None,
+    epoch: int = 0,
+    ret_traj: bool = False,
+):
+    """Unconditional generation (anchor_gen.py:1034-1084): flow prior ->
+    aligner (K CIMLE hypotheses) -> reverse chain. Returns dict with 'pred'
+    (S*K, N, 3), 'seg_mask', 'valid_id', 'anchors', 'latents'."""
+    lat_rng, dec_rng = jax.random.split(rng)
+    if fixed_id is None:
+        fixed_id = jnp.zeros((model.num_anchors,), jnp.float32)
+
+    def build():
+        def run(variables, fixed_id, valid_id, epoch, rng):
+            return model.apply(
+                variables,
+                sample_num,
+                fixed_id,
+                valid_id,
+                epoch,
+                method=AnchorDiffAE.prepare_generation,
+                rngs={"sample": rng},
+            )
+
+        return run
+
+    prep = _cached_jit(("prepare_generation", id(model), sample_num), build)
+    ctx, mean_pp, var_pp, seg_mask, vid, latents = prep(
+        variables, fixed_id, valid_id, epoch, lat_rng
+    )
+    out = decode(
+        model,
+        variables,
+        dec_rng,
+        mean_pp,
+        ctx=ctx,
+        variance=var_pp,
+        seg_mask=seg_mask,
+        valid_id=vid,
+        ret_traj=ret_traj,
+    )
+    out.update(
+        seg_mask=seg_mask, valid_id=vid, anchors=mean_pp, variance=var_pp, latents=latents
+    )
+    return out
+
+
+def reconstruct(
+    model: AnchorDiffAE,
+    variables,
+    rng,
+    batch,
+    noise=None,
+    epoch: int = -1,
+    ret_traj: bool = False,
+):
+    """Encode-and-decode a batch of shapes (anchor_gen.py:1085-1128)."""
+    enc_rng, dec_rng = jax.random.split(rng)
+
+    def build():
+        def run(variables, batch, noise, epoch, rng):
+            return model.apply(
+                variables,
+                batch,
+                noise,
+                epoch,
+                method=AnchorDiffAE.prepare_reconstruction,
+                rngs={"sample": rng},
+            )
+
+        return run
+
+    prep = _cached_jit(("prepare_reconstruction", id(model)), build)
+    ctx, mean_pp, var_pp, latents = prep(variables, batch, noise, epoch, enc_rng)
+    seg_mask = batch["ref_seg_mask"].astype(jnp.int32)
+    valid_id = batch.get("present")
+    if noise is not None and noise.ndim == 3:
+        K = noise.shape[1]
+        seg_mask = jnp.repeat(seg_mask, K, axis=0)
+        valid_id = jnp.repeat(valid_id, K, axis=0) if valid_id is not None else None
+    out = decode(
+        model,
+        variables,
+        dec_rng,
+        mean_pp,
+        ctx=ctx,
+        variance=var_pp,
+        seg_mask=seg_mask,
+        valid_id=valid_id,
+        ret_traj=ret_traj,
+    )
+    out.update(seg_mask=seg_mask, valid_id=valid_id, anchors=mean_pp, latents=latents)
+    return out
+
+
+def select_best_noise(
+    model: AnchorDiffAE, variables, rng, batch, num: Optional[int] = None
+):
+    """CIMLE noise caching: best-of-N by fit loss (anchor_gen.py:807-813).
+
+    Returns (noise (B, num, D), best_idx (B,), selected (B, D)).
+    """
+    def build():
+        def run(variables, batch, rng):
+            return model.apply(
+                variables,
+                batch,
+                num,
+                method=AnchorDiffAE.sample_noise_candidates,
+                rngs={"sample": rng},
+            )
+
+        return run
+
+    fn = _cached_jit(("sample_noise_candidates", id(model), num), build)
+    noise, fit = fn(variables, batch, rng)
+    best = jnp.argmin(fit, axis=1)
+    selected = jnp.take_along_axis(noise, best[:, None, None], axis=1)[:, 0]
+    return noise, best, selected

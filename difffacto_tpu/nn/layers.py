@@ -1,0 +1,157 @@
+"""Shared NN building blocks (Flax linen), channel-last everywhere.
+
+Replaces the reference's torch layers with TPU-idiomatic equivalents:
+
+* 1x1 ``Conv1d`` stacks become per-point ``Dense`` (identical math, better
+  XLA fusion in channel-last layout);
+* ``GEGLU``/``FeedForward`` mirror attention.py:50-94;
+* ``timestep_embedding`` mirrors utils/misc.py:83-100 ([cos, sin] order);
+* ``BatchNorm`` uses flax running stats to reproduce torch BatchNorm1d
+  semantics (momentum 0.9 <-> torch 0.1) for checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embeddings: (B,) -> (B, dim), [cos | sin] halves.
+
+    Matches reference timestep_embedding (utils/misc.py:83-100).
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def zeros_init():
+    return nn.initializers.zeros
+
+
+class ZeroDense(nn.Module):
+    """Dense with zero-initialized kernel and bias (reference zero_module)."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.features,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+
+
+class GEGLU(nn.Module):
+    """x, gate = proj(x).chunk(2); x * gelu(gate) (attention.py:50-57)."""
+
+    dim_out: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
+        x, gate = jnp.split(h, 2, axis=-1)
+        return x * jax.nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """Transformer MLP with optional GEGLU gate (attention.py:77-94)."""
+
+    dim: int
+    dim_out: Optional[int] = None
+    mult: int = 4
+    glu: bool = False
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        inner = int(self.dim * self.mult)
+        dim_out = self.dim_out if self.dim_out is not None else self.dim
+        if self.glu:
+            h = GEGLU(inner, dtype=self.dtype)(x)
+        else:
+            h = jax.nn.gelu(nn.Dense(inner, dtype=self.dtype)(x))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(dim_out, dtype=self.dtype)(h)
+
+
+class MLP(nn.Module):
+    """Plain ReLU MLP over the last axis (attention.py:60-75)."""
+
+    features: Sequence[int]
+    act: Callable = nn.relu
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, dtype=self.dtype)(x)
+            if i < len(self.features) - 1:
+                x = self.act(x)
+        return x
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm over the channel (last) axis with torch-compatible state.
+
+    Torch BatchNorm1d(momentum=0.1) updates running stats as
+    ``running = 0.9 * running + 0.1 * batch``; flax's ``momentum`` is the
+    decay of the running average, so momentum=0.9 here.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            axis_name=None,
+        )(x)
+
+
+class ConvBNReLUStack(nn.Module):
+    """The reference's 1x1-conv + BN + ReLU point stack.
+
+    ``features``: output channels per layer; ReLU after every layer except
+    optionally the last (reference applies bn4 with no relu,
+    pointnet.py:190-193).
+    """
+
+    features: Sequence[int]
+    relu_last: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.features)
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, dtype=self.dtype)(x)
+            x = TorchBatchNorm(dtype=self.dtype)(x, use_running_average=not train)
+            if i < n - 1 or self.relu_last:
+                x = nn.relu(x)
+        return x
