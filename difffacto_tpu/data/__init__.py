@@ -1,0 +1,12 @@
+from .dataset_utils import (
+    DataLoader,
+    bbox_normalize,
+    collate,
+    pc_norm,
+    sample_part_presence,
+    seg_classes,
+    shapenet_chair_part_distribution,
+    shapenet_part_normal_cat_to_id,
+)
+from .shapenet_seg import ShapeNetSegPart, ShapeNetSegPartDataset
+from .synthetic import SyntheticPart, SyntheticPartDataset

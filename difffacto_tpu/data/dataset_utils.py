@@ -1,0 +1,189 @@
+"""Dataset utilities: normalization modes, category tables, batching.
+
+Reproduces the reference's normalization semantics (reference:
+python/difffacto/datasets/dataset_utils.py:55-95) and the empirical chair
+part-presence distribution used by the generation protocol
+(dataset_utils.py:170-179).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+shapenet_part_normal_cat_to_id = {
+    "Airplane": "02691156",
+    "Bag": "02773838",
+    "Cap": "02954340",
+    "Car": "02958343",
+    "Chair": "03001627",
+    "Earphone": "03261776",
+    "Guitar": "03467517",
+    "Knife": "03624134",
+    "Lamp": "03636649",
+    "Laptop": "03642806",
+    "Motorbike": "03790512",
+    "Mug": "03797390",
+    "Pistol": "03948459",
+    "Rocket": "04099429",
+    "Skateboard": "04225987",
+    "Table": "04379243",
+}
+
+# ShapeNet-Part per-category segmentation label ranges (shapenet_seg.py:170-174)
+seg_classes = {
+    "Earphone": [16, 17, 18],
+    "Motorbike": [30, 31, 32, 33, 34, 35],
+    "Rocket": [41, 42, 43],
+    "Car": [8, 9, 10, 11],
+    "Laptop": [28, 29],
+    "Cap": [6, 7],
+    "Skateboard": [44, 45, 46],
+    "Mug": [36, 37],
+    "Guitar": [19, 20, 21],
+    "Bag": [4, 5],
+    "Lamp": [24, 25, 26, 27],
+    "Table": [47, 48, 49],
+    "Airplane": [0, 1, 2, 3],
+    "Pistol": [38, 39, 40],
+    "Chair": [12, 13, 14, 15],
+    "Knife": [22, 23],
+}
+
+# Empirical chair part-presence distribution (dataset_utils.py:170-179);
+# keys are presence bitstrings over the 4 part slots.
+shapenet_chair_part_distribution = {
+    "1110": 0.7209302325581395,
+    "1111": 0.2630199803471995,
+    "1101": 0.009498853586636095,
+    "1001": 0.00032754667540124465,
+    "1100": 0.002947920078611202,
+    "0111": 0.0013101867016049786,
+    "0110": 0.0016377333770062235,
+    "1011": 0.00032754667540124465,
+}
+
+
+def sample_part_presence(rng: np.random.RandomState, num: int, n_class: int = 4) -> np.ndarray:
+    """Draw part-presence patterns from the empirical chair distribution
+    (runner.py:411-422). Returns (num, n_class) float32 of 0/1."""
+    keys = list(shapenet_chair_part_distribution.keys())
+    probs = np.array([shapenet_chair_part_distribution[k] for k in keys])
+    probs = probs / probs.sum()
+    idx = rng.choice(len(keys), size=num, p=probs)
+    out = np.array([[int(c) for c in keys[i]] for i in idx], dtype=np.float32)
+    if n_class != 4:
+        pad = np.ones((num, n_class), np.float32)
+        pad[:, :4] = out[:, :n_class]
+        return pad
+    return out
+
+
+def pc_norm(
+    pc: np.ndarray, scale_mode: str, stats: Optional[dict] = None, clip: bool = True
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Normalize one cloud (N, 3); returns (pc, shift (1,3), scale (1,3)|(1,1)).
+
+    Modes per the reference (dataset_utils.py:55-95).
+    """
+    if scale_mode == "global_unit":
+        shift = stats["mean"].reshape(1, 3)
+        scale = stats["std"].reshape(1, 1)
+    elif scale_mode == "shape_unit":
+        shift = pc.mean(0).reshape(1, 3)
+        scale = pc.flatten().std().reshape(1, 1)
+    elif scale_mode == "shape_canonical":
+        shift = pc.mean(0).reshape(1, 3)
+        scale = pc.std(0).reshape(1, 3)
+        if clip:
+            scale = scale.clip(1e-2, 1)
+        if np.any(scale == 0.0):
+            scale[0, scale[0] == 0.0] = 1.0
+    elif scale_mode == "shape_canonical_bbox":
+        pc_max = pc.max(0).reshape(1, 3)
+        pc_min = pc.min(0).reshape(1, 3)
+        shift = ((pc_min + pc_max) / 2).reshape(1, 3)
+        scale = (pc_max - pc_min).reshape(1, 3) / 2
+        if clip:
+            scale = scale.clip(1e-2, 1)
+        if np.any(scale == 0.0):
+            scale[0, scale[0] == 0.0] = 1.0
+    elif scale_mode == "shape_half":
+        shift = pc.mean(0).reshape(1, 3)
+        scale = pc.flatten().std().reshape(1, 1) / 0.5
+    elif scale_mode == "shape_34":
+        shift = pc.mean(0).reshape(1, 3)
+        scale = pc.flatten().std().reshape(1, 1) / 0.75
+    elif scale_mode == "shape_bbox":
+        pc_max = pc.max(0).reshape(1, 3)
+        pc_min = pc.min(0).reshape(1, 3)
+        shift = ((pc_min + pc_max) / 2).reshape(1, 3)
+        scale = (pc_max - pc_min).max().reshape(1, 1) / 2
+    else:
+        shift = np.zeros([1, 3])
+        scale = np.ones([1, 1])
+    pc = (pc - shift) / scale
+    return pc.astype(np.float32), shift.astype(np.float32), scale.astype(np.float32)
+
+
+def bbox_normalize(pc: np.ndarray) -> np.ndarray:
+    """Center + scale each cloud by its bbox (runner.py:441-460 / eval path).
+    pc: (B, N, 3)."""
+    pc_max = pc.max(axis=1, keepdims=True)
+    pc_min = pc.min(axis=1, keepdims=True)
+    shift = (pc_min + pc_max) / 2
+    scale = (pc_max - pc_min).max(axis=-1, keepdims=True) / 2
+    return (pc - shift) / scale
+
+
+def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in items[0]:
+        v0 = items[0][k]
+        if isinstance(v0, str):
+            out[k] = [it[k] for it in items]
+        elif isinstance(v0, np.ndarray) or np.isscalar(v0):
+            out[k] = np.stack([np.asarray(it[k]) for it in items])
+        else:
+            out[k] = [it[k] for it in items]
+    return out
+
+
+class DataLoader:
+    """Minimal epoch iterator over an indexable dataset with numpy collation.
+
+    Replaces the torch DataLoader wrappers (dataset_utils.py:18-53). Includes
+    the ``evaluate`` passthrough the runner calls on the loader.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, drop_last: bool = False, seed: int = 0, **_):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._seed = seed
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self._seed + self._epoch).shuffle(order)
+        for s in range(0, n, self.batch_size):
+            idx = order[s : s + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield collate([self.dataset[int(i)] for i in idx])
+
+    def evaluate(self, results, save_num_batch, device=None):
+        return self.dataset.evaluate(results, save_num_batch, device)

@@ -350,6 +350,12 @@ class AnchoredDiffusion:
         equivalent of the reference's generator keeping every
         ``ret_interval``-th step (anchor_gen.py:145-169).
         """
+        # Chain state/math stays f32 regardless of the denoiser's compute
+        # dtype — schedule coefficients are f32 and bf16 accumulation over
+        # 100 steps visibly degrades sample quality.
+        anchors = anchors.astype(jnp.float32)
+        if variance is not None:
+            variance = variance.astype(jnp.float32)
         var_full = self._variance(variance, anchors)
         L = jnp.sqrt(var_full)
         init_rng, chain_rng = jax.random.split(rng)

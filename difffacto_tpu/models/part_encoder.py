@@ -77,7 +77,7 @@ class PartEncoder(nn.Module):
         self.zdim = self.encoder["zdim"]
         self.aligner = (
             build_from_cfg(dict(self.part_aligner), ENCODERS, dtype=self.dtype)
-            if self.part_aligner is not None
+            if self.part_aligner
             else None
         )
         if self.encode_ref:

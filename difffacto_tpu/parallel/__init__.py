@@ -1,0 +1,3 @@
+from .mesh import data_sharding, make_mesh, replicate, replicated, shard_batch
+from .optim import build_optimizer_from_cfg, make_optimizer
+from .train import TrainState, init_train_state, make_train_step, parse_losses

@@ -1,0 +1,118 @@
+"""Training step: one jitted SPMD program (loss + grads + clip + update).
+
+Replaces the reference's per-iteration python train step (reference:
+python/difffacto/runner/runner.py:299-347): zero_grad -> model loss dict ->
+parse_losses -> clip_grad_norm -> Adam.step becomes a single pjit'ed function
+over the data mesh. ``parse_losses`` keeps the reference semantics: the total
+is the sum of every entry whose key contains 'loss' (utils/misc.py:120-132).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.anchor_diff import AnchorDiffAE
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+        )
+
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def parse_losses(losses: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    means = {k: jnp.mean(v) for k, v in losses.items()}
+    total = sum(v for k, v in means.items() if "loss" in k)
+    return total, means
+
+
+def make_train_step(
+    model: AnchorDiffAE,
+    tx: optax.GradientTransformation,
+    trainable_filter: Optional[Callable[[Tuple[str, ...]], bool]] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    ``trainable_filter(path) -> bool`` freezes parameters outside the filter
+    (reference's train_aligner / train_cvae param groups, runner.py:76-94) by
+    zeroing their gradients — optimizer state stays uniform so checkpoints
+    are interchangeable between stages.
+    """
+
+    def step_fn(state: TrainState, batch, rng, epoch):
+        rng_sample, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            outs, mutated = model.apply(
+                variables,
+                batch,
+                epoch,
+                method=AnchorDiffAE.loss,
+                rngs={"sample": rng_sample, "dropout": rng_dropout},
+                mutable=["batch_stats"],
+            )
+            total, means = parse_losses(outs)
+            return total, (means, mutated.get("batch_stats", {}))
+
+        (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if trainable_filter is not None:
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: g
+                if trainable_filter(tuple(getattr(p, "key", str(p)) for p in path))
+                else jnp.zeros_like(g),
+                grads,
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats if new_stats else state.batch_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(model: AnchorDiffAE, tx, batch, seed: int = 0) -> TrainState:
+    rngs = {
+        "params": jax.random.PRNGKey(seed),
+        "sample": jax.random.PRNGKey(seed + 1),
+        "dropout": jax.random.PRNGKey(seed + 2),
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, 0, method=AnchorDiffAE.loss))(
+        rngs, batch
+    )
+    return TrainState.create(variables, tx)

@@ -1,0 +1,139 @@
+"""Metric-suite and dataset tests on small synthetic data."""
+
+import numpy as np
+import pytest
+
+from difffacto_tpu.data import (
+    DataLoader,
+    SyntheticPartDataset,
+    pc_norm,
+    sample_part_presence,
+)
+from difffacto_tpu.metrics import (
+    compute_all_metrics,
+    compute_snapping_metric,
+    emd_cd_paired,
+    evaluate_batches,
+    jsd_between_point_cloud_sets,
+    knn,
+    lgan_mmd_cov,
+    pairwise_cd_emd,
+)
+
+
+def make_clouds(n, npts=64, seed=0, shift=0.0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, npts, 3).astype(np.float32) - 0.5 + shift)
+
+
+class TestMetrics:
+    def test_pairwise_shapes(self):
+        s = make_clouds(3, seed=0)
+        r = make_clouds(5, seed=1)
+        cd, emd = pairwise_cd_emd(s, r, batch_size=2)
+        assert cd.shape == (3, 5) and emd.shape == (3, 5)
+        assert np.isfinite(cd).all() and np.isfinite(emd).all()
+        # identical clouds -> near-zero distance on the diagonal of self-pairs
+        cd_self, _ = pairwise_cd_emd(s, s, batch_size=2, compute_emd=False)
+        assert np.allclose(np.diag(cd_self), 0, atol=1e-4)
+
+    def test_knn_separable(self):
+        """Disjoint sets -> 1-NNA accuracy 1.0; identical -> ~0.5."""
+        a = make_clouds(6, seed=0, shift=0.0)
+        b = make_clouds(6, seed=1, shift=5.0)
+        Maa, _ = pairwise_cd_emd(a, a, 4, compute_emd=False)
+        Mbb, _ = pairwise_cd_emd(b, b, 4, compute_emd=False)
+        Mab, _ = pairwise_cd_emd(a, b, 4, compute_emd=False)
+        res = knn(Maa, Mab, Mbb, 1)
+        assert res["acc"] == 1.0
+
+    def test_lgan_mmd_cov(self):
+        d = np.array([[0.1, 0.9], [0.8, 0.2]])
+        res = lgan_mmd_cov(d)
+        assert np.isclose(res["lgan_mmd"], (0.1 + 0.2) / 2)
+        assert res["lgan_cov"] == 1.0
+
+    def test_compute_all_metrics_smoke(self):
+        s = make_clouds(4, seed=0)
+        r = make_clouds(4, seed=1)
+        m = compute_all_metrics(s, r, batch_size=2)
+        for k in ("lgan_mmd-CD", "lgan_cov-CD", "1-NN-CD-acc", "1-NN-EMD-acc"):
+            assert k in m, m.keys()
+
+    def test_emd_cd_paired(self):
+        s = make_clouds(4, seed=0)
+        m = emd_cd_paired(s, s, batch_size=2)
+        assert m["MMD-CD"] < 1e-4 and m["MMD-EMD"] < 1e-2
+
+    def test_jsd(self):
+        s = make_clouds(4, seed=0) * 0.5
+        assert jsd_between_point_cloud_sets(s, s) < 1e-9
+        r = make_clouds(4, seed=5) * 0.5 + 0.2
+        assert jsd_between_point_cloud_sets(s, r) > 0.01
+
+
+class TestDataset:
+    def test_synthetic_item_contract(self):
+        ds = SyntheticPartDataset(npoints=128, size=8)
+        item = ds[0]
+        assert item["input"].shape == (128, 3)
+        assert item["ref"].shape == (128, 3)
+        assert item["ref_seg_mask"].shape == (128,)
+        assert item["ref_attn_map"].shape == (128, 4)
+        assert item["part_shift"].shape == (4, 3)
+        assert item["part_scale"].shape == (4, 3)
+        assert item["present"].shape == (4,)
+        # part-normalized input has ~zero per-part mean
+        for i in range(4):
+            idx = item["ref_seg_mask"] == i
+            if item["present"][i]:
+                assert np.abs(item["input"][idx].mean(0)).max() < 0.2
+
+    def test_loader_batches(self):
+        ds = SyntheticPartDataset(npoints=128, size=10)
+        dl = DataLoader(ds, batch_size=4, shuffle=True)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[0]["input"].shape == (4, 128, 3)
+        assert isinstance(batches[0]["token"], list)
+
+    def test_pc_norm_modes(self):
+        pc = np.random.RandomState(0).randn(100, 3).astype(np.float32)
+        for mode in ("shape_unit", "shape_canonical", "shape_bbox", "shape_canonical_bbox"):
+            out, shift, scale = pc_norm(pc, mode)
+            assert np.isfinite(out).all()
+            np.testing.assert_allclose(out * scale + shift, pc, atol=1e-4)
+
+    def test_part_presence_sampler(self):
+        p = sample_part_presence(np.random.RandomState(0), 100)
+        assert p.shape == (100, 4)
+        assert (p[:, 0] == 1).mean() > 0.9  # seat almost always present
+
+    def test_evaluate_gen_mode(self):
+        """Full evaluate_batches dispatch in 'gen' mode on synthetic preds."""
+        rng = np.random.RandomState(0)
+        results = []
+        for b in range(2):
+            B, N = 3, 64
+            results.append(
+                {
+                    "pred": rng.rand(B, N, 3).astype(np.float32),
+                    "pred_seg_mask": rng.randint(0, 4, (B, N)),
+                    "input_ref": rng.rand(B, N, 3).astype(np.float32),
+                    "ref_seg_mask": rng.randint(0, 4, (B, N)),
+                    "shift": np.zeros((B, 1, 3), np.float32),
+                    "scale": np.ones((B, 1, 1), np.float32),
+                }
+            )
+        save, metrics = evaluate_batches(
+            results, save_num_batch=1, eval_mode="gen", batch_size=4
+        )
+        assert "1-NN-CD-acc" in metrics
+        assert save["pred"].shape[0] == 3
+
+    def test_snapping_metric(self):
+        rng = np.random.RandomState(0)
+        preds = rng.rand(2, 128, 3).astype(np.float32)
+        masks = np.repeat(np.arange(4), 32)[None].repeat(2, 0)
+        m = compute_snapping_metric(preds, masks, cls="Chair")
+        assert all(np.isfinite(v) for v in m.values())

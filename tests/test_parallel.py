@@ -1,0 +1,86 @@
+"""Data-parallel training over a virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from difffacto_tpu.parallel import (
+    build_optimizer_from_cfg,
+    init_train_state,
+    make_mesh,
+    make_train_step,
+    replicate,
+    shard_batch,
+)
+
+from test_model import init_model, tiny_batch, tiny_model_cfg
+from difffacto_tpu.models import AnchorDiffAE
+
+
+def test_eight_device_mesh_exists():
+    assert len(jax.devices()) == 8
+
+
+def test_train_step_single_device():
+    model, variables, batch = init_model()
+    tx = build_optimizer_from_cfg(
+        dict(type="Adam", lr=1e-3, weight_decay=0.0),
+        scheduler_cfg=dict(type="LinearLR", start_lr=1e-3, end_lr=1e-4, start_epoch=2, end_epoch=4),
+        iters_per_epoch=2,
+        max_norm=10.0,
+    )
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(0)
+    state1, metrics = step(state, batch, rng, 0)
+    assert int(state1.step) == 1
+    assert np.isfinite(float(metrics["total_loss"]))
+    # params actually moved
+    d = jax.tree_util.tree_map(lambda a, b: jnp.abs(a - b).sum(), state.params, state1.params)
+    assert sum(float(x) for x in jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_train_step_sharded_batch():
+    """Same step, batch sharded over 8 devices; loss finite and params update."""
+    mesh = make_mesh()
+    model, variables, _ = init_model(B=8)
+    batch = tiny_batch(B=8)
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3), max_norm=10.0)
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    state = jax.tree_util.tree_map(lambda x: replicate(mesh, x), state)
+    sbatch = shard_batch(mesh, batch)
+    step = make_train_step(model, tx, donate=False)
+    state1, metrics = step(state, sbatch, jax.random.PRNGKey(0), 0)
+    assert np.isfinite(float(metrics["total_loss"]))
+    # result of a replicated-params computation stays replicated
+    assert int(state1.step) == 1
+
+
+def test_trainable_filter_freezes():
+    """train_aligner mode: only aligner params move (runner.py:76-94)."""
+    model, variables, batch = init_model()
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-2))
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    is_aligner = lambda path: any("aligner" in p for p in path)
+    step = make_train_step(model, tx, trainable_filter=is_aligner, donate=False)
+    state1, _ = step(state, batch, jax.random.PRNGKey(0), 0)
+
+    moved_non_aligner = 0.0
+    moved_aligner = 0.0
+    flat0 = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(state1.params)[0]
+    for (p0, a), (p1, b) in zip(flat0, flat1):
+        delta = float(jnp.abs(a - b).sum())
+        path = tuple(getattr(k, "key", str(k)) for k in p0)
+        if any("aligner" in s for s in path):
+            moved_aligner += delta
+        else:
+            moved_non_aligner += delta
+    assert moved_aligner > 0
+    assert moved_non_aligner == 0.0
