@@ -23,8 +23,12 @@ from ..ops.emd import emd_cost
 from ..ops.points import fps, gather_points_nd
 from .iou import aabb_iou
 
-EMD_EPS = 0.002
-EMD_ITERS = 10000
+import os as _os
+
+EMD_EPS = float(_os.environ.get("DIFFFACTO_EMD_EPS", 0.002))
+# Reference eval accuracy: 10000 iters (metrics/emd/README.md). Tunable so
+# CPU test runs can trade accuracy for speed.
+EMD_ITERS = int(_os.environ.get("DIFFFACTO_EMD_ITERS", 10000))
 
 
 def _to_np(x):
@@ -32,6 +36,35 @@ def _to_np(x):
 
 
 # --------------------------------------------------------------- pairwise
+_PAIRWISE_KERNELS = {}
+
+
+def _get_pairwise_kernel(compute_emd: bool):
+    """Module-cached jitted (1 sample) x (ref chunk) CD/EMD kernel — a fresh
+    closure per call would retrace/recompile every pairwise sweep."""
+    fn = _PAIRWISE_KERNELS.get(compute_emd)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def one_vs_chunk(s, s_mask, ref_chunk, ref_mask_chunk):
+        sb = jnp.broadcast_to(s[None], ref_chunk.shape)
+        dl, dr = chamfer_split(sb, ref_chunk)
+        dl_mean = (dl * s_mask[None]).sum(1) / s_mask.sum()
+        dr_mean = (dr * ref_mask_chunk).sum(1) / ref_mask_chunk.sum(1)
+        cd = dl_mean + dr_mean
+        if compute_emd:
+            e = emd_cost(sb, ref_chunk, EMD_EPS, EMD_ITERS)
+        else:
+            e = jnp.zeros_like(cd)
+        return cd, e
+
+    _PAIRWISE_KERNELS[compute_emd] = one_vs_chunk
+    return one_vs_chunk
+
+
 def pairwise_cd_emd(
     sample: np.ndarray,
     ref: np.ndarray,
@@ -53,18 +86,7 @@ def pairwise_cd_emd(
     S, N, _ = sample.shape
     R = ref.shape[0]
 
-    @jax.jit
-    def one_vs_chunk(s, s_mask, ref_chunk, ref_mask_chunk):
-        sb = jnp.broadcast_to(s[None], ref_chunk.shape)
-        dl, dr = chamfer_split(sb, ref_chunk)
-        dl_mean = (dl * s_mask[None]).sum(1) / s_mask.sum()
-        dr_mean = (dr * ref_mask_chunk).sum(1) / ref_mask_chunk.sum(1)
-        cd = dl_mean + dr_mean
-        if compute_emd:
-            e = emd_cost(sb, ref_chunk, EMD_EPS, EMD_ITERS)
-        else:
-            e = jnp.zeros_like(cd)
-        return cd, e
+    one_vs_chunk = _get_pairwise_kernel(compute_emd)
 
     sample_j = jnp.asarray(sample, jnp.float32)
     ref_j = jnp.asarray(ref, jnp.float32)

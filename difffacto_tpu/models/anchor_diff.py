@@ -155,6 +155,81 @@ class AnchorDiffAE(nn.Module):
         loss_dict.update(diff_losses)
         return loss_dict
 
+    # ------------------------------------------------------- editing helpers
+    def encode_part_code(self, x, seg_flag, sample: bool = False):
+        """Per-part latent codes from a (possibly mixed) cloud:
+        (B, N, 3), (B, N, K) -> (B, K, zdim)."""
+        means, logvars = self.encoder_mod.get_part_code(x, seg_flag, train=False)
+        if sample and self.encoder_mod.gen:
+            from ..utils.gaussian import reparameterize_gaussian
+
+            return reparameterize_gaussian(self.make_rng("sample"), means, logvars)
+        return means
+
+    def latents_to_decode(self, part_code, valid_id, noise=None, seg_mask=None):
+        """Aligner + gather + ctx from explicit latents (the common tail of
+        combine_latent / interpolate_* — anchor_gen.py:499-514).
+
+        Returns (ctx, mean_pp, variance_pp, seg_mask, (mean, logvar)).
+        """
+        enc = self.encoder_mod
+        mean, logvar = enc.get_params_from_part_code(part_code, valid_id, noise=noise)
+        if seg_mask is None:
+            ids = jnp.arange(self.num_anchors, dtype=part_code.dtype)[None] * valid_id + jnp.argmax(
+                valid_id, axis=1
+            )[:, None].astype(part_code.dtype) * (1 - valid_id)
+            seg_mask = jnp.repeat(
+                ids.astype(jnp.int32), self.npoints // self.num_anchors, axis=1
+            )
+        lv = logvar + enc.log_scale_var if logvar is not None else logvar
+        mean_pp, logvar_pp, _ = enc.gather_all(seg_mask, anchors=mean, variances=lv)
+        ctx = enc.prepare_ctx(part_code, mean, logvar, seg_mask=seg_mask)
+        return ctx, mean_pp, jnp.exp(logvar_pp), seg_mask, (mean, logvar)
+
+    def edit_losses(
+        self,
+        z,
+        x,
+        seg_flag,
+        valid_id,
+        ref_means,
+        ref_vars,
+        fix_ids,
+        edit_part_id,
+        edit_part_mean=None,
+        edit_part_var=None,
+        fit_weight: float = 1.0,
+    ):
+        """Noise-optimization losses for shape editing (anchor_gen.py:872-893):
+        keep fixed parts' params near reference, pull the edited part toward
+        the target, L2-regularize the noise."""
+        enc = self.encoder_mod
+        means, _ = enc.get_part_code(x, seg_flag, train=False)
+        mean, logvar = enc.get_params_from_part_code(means, valid_id, noise=z)
+        fit = (
+            jnp.concatenate([mean, logvar], axis=-1)
+            - jnp.concatenate([ref_means, jnp.log(ref_vars)], axis=-1)
+        ) ** 2
+        fit = fit * (valid_id * fix_ids)[..., None]
+        fit = fit.sum(axis=(-1, -2)) / (valid_id * fix_ids).sum(-1)
+        out = {"fit_loss": fit_weight * fit}
+        edit = 0.0
+        if edit_part_mean is not None:
+            edit = edit + ((mean[:, edit_part_id] - edit_part_mean) ** 2).mean()
+        if edit_part_var is not None:
+            edit = edit + ((logvar[:, edit_part_id] - jnp.log(edit_part_var)) ** 2).mean()
+        out["edit_loss"] = edit
+        if self.noise_reg_loss:
+            out["reg_loss"] = self.reg_loss_weight * (z**2).sum(-1)
+        return out
+
+    def recon_losses(self, batch, z):
+        """Fit losses for CIMLE noise optimization (anchor_gen.py:895-913)."""
+        _, _, _, _, loss_dict, _ = self.encoder_mod(batch, noise=z, epoch=-1, train=False)
+        if self.noise_reg_loss:
+            loss_dict["reg_loss"] = self.reg_loss_weight * (z**2).sum(-1)
+        return loss_dict
+
     # ----------------------------------------------------- eval-path helpers
     def prepare_generation(self, sample_num, fixed_id, valid_id, epoch=0):
         """Latents for unconditional generation (anchor_gen.py:1042).

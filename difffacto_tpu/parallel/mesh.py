@@ -41,9 +41,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    A ragged final batch (size not divisible by the mesh) falls back to
+    replicated placement — correct, just not sharded.
+    """
     sh = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    n = mesh.devices.size
+
+    def put(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

@@ -16,8 +16,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# CPU auction-EMD with full eval iterations is minutes-slow on this 1-core
+# host; tests cap the iteration budget (accuracy still plenty for assertions).
+os.environ.setdefault("DIFFFACTO_EMD_ITERS", "300")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: XLA CPU compiles of the full model graph on
+# this 1-core host take ~30-60s each; cache them across test runs.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
