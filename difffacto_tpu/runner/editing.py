@@ -46,7 +46,7 @@ def combine_latent(model: AnchorDiffAE, variables, rng, batch, K: Optional[int] 
     B = x.shape[0]
     K = (model.cimle_sample_num if model.cimle else 1) if K is None else K
 
-    part_code = np.asarray(
+    part_code = np.array(
         _apply(model, variables, AnchorDiffAE.encode_part_code, x, seg_flag, True, rng=rng_code)
     )
     perm_rng = np.random.RandomState(int(jax.random.randint(rng_perm, (), 0, 2**31 - 1)))
@@ -135,7 +135,7 @@ def interpolate_latent(
     ref_seg = np.asarray(batch["ref_seg_mask"])
     B = x.shape[0]
 
-    part_code = np.asarray(
+    part_code = np.array(
         _apply(model, variables, AnchorDiffAE.encode_part_code, x, seg_flag, True, rng=rng_code)
     )
     perm = np.random.RandomState(

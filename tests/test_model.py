@@ -121,6 +121,8 @@ def tiny_batch(B=2, rng=None):
             np.abs(rng.randn(B, N_CLASS, 3)).astype(np.float32) * 0.2 + 0.3
         ),
         "noise": jnp.zeros((B, 1), jnp.float32),
+        "shift": jnp.zeros((B, 1, 3), jnp.float32),
+        "scale": jnp.ones((B, 1, 1), jnp.float32),
     }
 
 
