@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import FeedForward
+from .layers import FeedForward, FusedLNFF
 
 
 class CrossAttention(nn.Module):
@@ -32,6 +32,9 @@ class CrossAttention(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
+    # Context lengths at or below this use the fused small-ctx path.
+    SMALL_CTX: int = 8
+
     @nn.compact
     def __call__(self, x, context=None, mask=None, deterministic: bool = True):
         h, d = self.heads, self.dim_head
@@ -43,19 +46,62 @@ class CrossAttention(nn.Module):
 
         B, N = q.shape[0], q.shape[1]
         M = k.shape[1]
-        q = q.reshape(B, N, h, d)
-        k = k.reshape(B, M, h, d)
-        v = v.reshape(B, M, h, d)
-
         scale = d ** -0.5
-        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        if mask is not None:
-            neg = jnp.finfo(sim.dtype).min
-            sim = jnp.where(mask[:, None, None, :].astype(bool), sim, neg)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, inner)
+
+        if context is not None and M <= self.SMALL_CTX and N > M:
+            out = self._small_ctx_attention(q, k, v, mask, scale)
+        else:
+            qh = q.reshape(B, N, h, d)
+            kh = k.reshape(B, M, h, d)
+            vh = v.reshape(B, M, h, d)
+            sim = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * scale
+            if mask is not None:
+                neg = jnp.finfo(sim.dtype).min
+                sim = jnp.where(mask[:, None, None, :].astype(bool), sim, neg)
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, inner)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+    def _small_ctx_attention(self, q, k, v, mask, scale):
+        """Fused attention for a tiny static context (the 4 part tokens).
+
+        The naive einsum materializes (B, h, N, M) with M=4 in the minor
+        (lane) dimension — XLA pads it to 128, turning a trivial score matrix
+        into ~0.5 GB of HBM traffic per denoiser step. Instead the tiny K/V
+        are laid out as block-diagonal (inner, h*M) matrices so scores and
+        the weighted sum are TWO dense (N x inner)@(inner x h*M) matmuls with
+        a grouped softmax in between; nothing wider than h*M lanes is ever
+        materialized. Identical math and parameters to the naive path.
+        """
+        h, d = self.heads, self.dim_head
+        inner = h * d
+        B, N = q.shape[0], q.shape[1]
+        M = k.shape[1]
+        G = h * M
+
+        # k, v: (B, M, inner) -> block-diagonal (B, inner, G) / (B, G, inner);
+        # tiny tensors, assembled with one one-hot einsum each.
+        kh = k.reshape(B, M, h, d)
+        vh = v.reshape(B, M, h, d)
+        eye = jnp.eye(h, dtype=q.dtype)  # (h, h)
+        # k_bd[b, (h1 d), (h2 m)] = kh[b, m, h2, d] * eye[h1, h2]
+        k_bd = jnp.einsum("bmhd,gh->bgdhm", kh, eye).reshape(B, inner, G)
+        # v_bd[b, (h1 m), (h2 d)] = vh[b, m, h1, d] * eye[h1, h2]
+        v_bd = jnp.einsum("bmhd,hg->bhmgd", vh, eye).reshape(B, G, inner)
+
+        s = jnp.einsum("bnc,bcg->bng", q, k_bd) * scale  # (B, N, G)
+        # Grouped softmax over each head's M lanes: a per-(b, n) constant
+        # shift is valid for every group simultaneously.
+        c = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s - c)
+        if mask is not None:
+            lane_mask = jnp.tile(mask.astype(e.dtype), (1, h))  # (B, G)
+            e = e * lane_mask[:, None, :]
+        group_sum = jnp.kron(jnp.eye(h, dtype=e.dtype), jnp.ones((M, M), e.dtype))
+        denom = jnp.einsum("bng,gk->bnk", e, group_sum)
+        w = e / jnp.maximum(denom, jnp.finfo(e.dtype).tiny)
+        return jnp.einsum("bng,bgc->bnc", w, v_bd)  # (B, N, inner)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -106,6 +152,11 @@ class BasicTransformerBlock(nn.Module):
             )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context, mask, deterministic)
             + x
         )
+        if self.gated_ff and not self.adaln:
+            # Fused pre-LN GEGLU FF (Pallas kernel on the TPU sampling path).
+            return FusedLNFF(
+                self.dim, dropout=self.dropout, dtype=self.dtype, name="ffn"
+            )(x, deterministic)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         if self.adaln:
             emb = nn.Dense(2 * self.dim, dtype=self.dtype, name="emb_layers")(

@@ -91,6 +91,78 @@ class FeedForward(nn.Module):
         return nn.Dense(dim_out, dtype=self.dtype)(h)
 
 
+class FusedLNFF(nn.Module):
+    """Pre-LN GEGLU feed-forward with residual: ``x + FF(LN(x))``.
+
+    Owns its parameters flat (ln scale/bias, w1/b1, w2/b2) so the sampling
+    path can dispatch to the Pallas fused kernel (ops/fused_ff.py) — on TPU,
+    deterministic mode — while training uses the same parameters through the
+    unfused composition (autodiff + dropout).
+    """
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        import jax as _jax
+
+        D = self.dim
+        inner = int(D * self.mult)
+        ln_scale = self.param("ln_scale", nn.initializers.ones, (D,), jnp.float32)
+        ln_bias = self.param("ln_bias", nn.initializers.zeros, (D,), jnp.float32)
+        w1 = self.param(
+            "w1", nn.initializers.lecun_normal(), (D, 2 * inner), jnp.float32
+        )
+        b1 = self.param("b1", nn.initializers.zeros, (2 * inner,), jnp.float32)
+        w2 = self.param(
+            "w2", nn.initializers.lecun_normal(), (inner, D), jnp.float32
+        )
+        b2 = self.param("b2", nn.initializers.zeros, (D,), jnp.float32)
+
+        cdt = self.dtype or x.dtype
+        use_fused = (
+            deterministic
+            and _jax.default_backend() == "tpu"
+            and x.ndim == 3
+            and D % 128 == 0
+        )
+        if use_fused:
+            from ..ops.fused_ff import fused_ln_geglu_ff, pick_tile
+
+            B, N, _ = x.shape
+            T = B * N
+            tile = pick_tile(T)
+            if tile:
+                flat = x.reshape(T, D).astype(cdt)
+                out = fused_ln_geglu_ff(
+                    flat,
+                    ln_scale.astype(cdt),
+                    ln_bias.astype(cdt),
+                    w1.astype(cdt),
+                    b1,
+                    w2.astype(cdt),
+                    b2,
+                    tile,
+                )
+                return out.reshape(B, N, D).astype(x.dtype)
+
+        # Unfused composition (training / CPU / odd shapes) — same params.
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+        h = h.astype(cdt)
+        hg = h @ w1.astype(cdt) + b1.astype(cdt)
+        a, g = jnp.split(hg, 2, axis=-1)
+        act = a * jax.nn.gelu(g)
+        act = nn.Dropout(self.dropout)(act, deterministic=deterministic)
+        out = act @ w2.astype(cdt) + b2.astype(cdt)
+        return x + out.astype(x.dtype)
+
+
 class MLP(nn.Module):
     """Plain ReLU MLP over the last axis (attention.py:60-75)."""
 
