@@ -7,8 +7,21 @@ from .anchor_diff import (
     sample_generation,
     select_best_noise,
 )
-from .denoiser import PointwiseNet, TransformerNet
+from .decomposers import ComponentMixer, ComponentMixerV2, PartCodeTransformer
+from .denoiser import LDMNet, PointwiseNet, PointwiseNet2, TransformerNet, UNet
 from .diffusion import AnchoredDiffusion
+from .diffusion_extra import LDM, LatentDiffusionDrift, PointDiffusion
+from .gan import (
+    Discriminator,
+    DiscriminatorcGan,
+    Generator,
+    dis_loss,
+    gen_loss,
+    gradient_penalty,
+)
+from .orchestrators_extra import PDM, AnchoredGeneration
+from .pointnet2 import PointNet2MSG, PointNet2SSG, PointnetFPModule, PointnetSAModule
+from .segmentor import ConditionalBatchNorm1d, PointNetDenseCls
 from .flow import CouplingLayer, PerPartFlow, SequentialFlow
 from .part_encoder import PartEncoder, PartEncoderForTransformerDecoder, gather_per_point
 from .pointnet import PointNet, PointNetV2, PointNetVAEBase

@@ -36,12 +36,16 @@ from .samplers import Uniform
 
 
 def build_diffusion(diffusion_cfg: dict, num_timesteps: int) -> AnchoredDiffusion:
-    """Build the pure-math diffusion object from its config (net key removed)."""
+    """Build the pure-math diffusion object from its config (net key removed).
+
+    Dispatches through the DIFFUSIONS registry so PointDiffusion/LDM configs
+    get their vanilla-DDPM settings instead of anchored defaults.
+    """
     cfg = dict(diffusion_cfg)
-    cfg.pop("type", None)
+    kind = cfg.pop("type", "AnchoredDiffusion")
     cfg.pop("net", None)
     cfg["num_timesteps"] = num_timesteps
-    return AnchoredDiffusion(**cfg)
+    return build_from_cfg(dict(type=kind, **cfg), DIFFUSIONS)
 
 
 @MODELS.register_module()

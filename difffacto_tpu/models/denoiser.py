@@ -137,6 +137,131 @@ class TransformerNet(nn.Module):
         return out
 
 
+@NETS.register_module()
+class LDMNet(nn.Module):
+    """Latent-diffusion denoiser over the K part tokens
+    (attention.py:443-546): t-embedding as an extra (masked-in) token or an
+    additive bias, class embedding added, blocks may cross-attend to ctx."""
+
+    in_channels: int
+    out_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    context_dim: Optional[int] = None
+    n_class: int = 4
+    class_cond: bool = False
+    single_attn: bool = False
+    mask_out_unreferenced_code: bool = True
+    cond_time_as_token: bool = True
+    use_checkpoint: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, t, ctx=None, anchors=None, variances=None, seg_mask=None,
+                 valid_id=None, deterministic: bool = True):
+        """x (B, K, in_channels): the noisy part latents."""
+        inner = self.n_heads * self.d_head
+        B, K, _ = x.shape
+        if isinstance(ctx, (list, tuple)):
+            ctx = jnp.concatenate(ctx, axis=-1) if ctx else None
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        t_embed = FeedForward(
+            inner, dropout=self.dropout, glu=True, dtype=self.dtype, name="time_embed"
+        )(timestep_embedding(t, 256)[:, :inner] if inner <= 256 else timestep_embedding(t, inner),
+          deterministic)
+        mask = valid_id if self.mask_out_unreferenced_code else None
+        extra = 0
+        if self.cond_time_as_token:
+            h = jnp.concatenate([t_embed[:, None], h], axis=1)
+            extra = 1
+            if mask is not None:
+                mask = jnp.concatenate([jnp.ones((B, 1), mask.dtype), mask], axis=1)
+        else:
+            h = h + t_embed[:, None]
+        if self.class_cond:
+            class_emb = self.param(
+                "class_emb", nn.initializers.normal(1.0), (self.n_class, inner), jnp.float32
+            )
+            pad = jnp.zeros((extra, inner), h.dtype)
+            h = h + jnp.concatenate([pad, class_emb.astype(h.dtype)], axis=0)[None]
+        h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(h)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                dim=inner, n_heads=self.n_heads, d_head=self.d_head,
+                dropout=self.dropout,
+                context_dim=ctx.shape[-1] if ctx is not None else None,
+                single_attn=self.single_attn, dtype=self.dtype, name=f"block_{i}",
+            )(h, ctx, mask, None, deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="post_norm")(h)
+        if extra:
+            h = h[:, extra:]
+        return nn.Dense(
+            self.out_channels,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj_out",
+        )(h)
+
+
+@NETS.register_module()
+class UNet(nn.Module):
+    """1D attention 'UNet' denoiser (nets/unet.py:296-341): GroupNorm+SiLU
+    input stack, time-embedding MLP, alternating prior-/language-conditioned
+    transformer blocks with scale-shift norm, zero-init residual output."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    embed_dim: int = 128
+    dropout: float = 0.0
+    prior_dim: int = 512
+    language_dim: int = 64
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, t, ctx=None, anchors=None, variances=None, seg_mask=None,
+                 valid_id=None, language_code=None, deterministic: bool = True):
+        inner = self.n_heads * self.d_head
+        x_in = x
+        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-6)(x)
+        h = jax.nn.silu(h)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        emb = nn.Dense(self.embed_dim, dtype=self.dtype)(timestep_embedding(t, self.embed_dim))
+        emb = nn.Dense(self.embed_dim, dtype=self.dtype)(jax.nn.silu(emb))
+        prior = ctx
+        if isinstance(prior, (list, tuple)):
+            prior = jnp.concatenate(prior, axis=-1) if prior else None
+        for i in range(self.depth):
+            # scale-shift conditioning on the time embedding
+            ss = nn.Dense(2 * inner, dtype=self.dtype, name=f"emb_{i}")(jax.nn.silu(emb))
+            scale, shift = jnp.split(ss, 2, axis=-1)
+            h = nn.LayerNorm(name=f"ln_{i}")(h) * (1 + scale[:, None]) + shift[:, None]
+            h = BasicTransformerBlock(
+                dim=inner, n_heads=self.n_heads, d_head=self.d_head,
+                dropout=self.dropout,
+                context_dim=prior.shape[-1] if prior is not None else None,
+                single_attn=True, dtype=self.dtype, name=f"prior_block_{i}",
+            )(h, prior, valid_id, None, deterministic)
+            if language_code is not None:
+                h = BasicTransformerBlock(
+                    dim=inner, n_heads=self.n_heads, d_head=self.d_head,
+                    dropout=self.dropout, context_dim=language_code.shape[-1],
+                    single_attn=True, dtype=self.dtype, name=f"lang_block_{i}",
+                )(h, language_code, None, None, deterministic)
+        out = nn.Dense(
+            self.in_channels,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj_out",
+        )(h)
+        return out + x_in
+
+
 class ConcatSquashDense(nn.Module):
     """Dense modulated by context gate+bias (pointwisenet.py ConcatSquashLinear)."""
 
@@ -148,6 +273,45 @@ class ConcatSquashDense(nn.Module):
         gate = jax.nn.sigmoid(nn.Dense(self.features, dtype=self.dtype, name="hyper_gate")(ctx))
         bias = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="hyper_bias")(ctx)
         return nn.Dense(self.features, dtype=self.dtype, name="layer")(x) * gate + bias
+
+
+@NETS.register_module()
+class PointwiseNet2(nn.Module):
+    """Concat-squash MLP with per-part context gathering
+    (nets/pointwisenet2.py:10-103): selected layers re-gather per-part
+    context by the anchor assignment before modulating."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    context_dim: int = 256
+    num_anchors: int = 4
+    res: bool = True
+    include_anchors: bool = False
+    gather_layers: tuple = (1, 3)
+    hidden: Sequence[int] = (128, 256, 512, 256, 128)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, t, ctx, anchors=None, variances=None, seg_mask=None,
+                 valid_id=None, deterministic: bool = True):
+        """x (B, N, C); ctx (B, K, context_dim); seg_mask (B, N)."""
+        if isinstance(ctx, (list, tuple)):
+            ctx = jnp.concatenate(ctx, axis=-1)
+        from ..models.part_encoder import gather_per_point
+
+        tf = t.astype(jnp.float32)[:, None]
+        time_emb = jnp.concatenate([tf, jnp.sin(tf), jnp.cos(tf)], axis=-1)[:, None, :]
+        per_point_ctx = gather_per_point(ctx, seg_mask.astype(jnp.int32))
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(time_emb, per_point_ctx.shape[:2] + (3,)), per_point_ctx],
+            axis=-1,
+        )
+        h = x
+        for i, f in enumerate(self.hidden):
+            h = ConcatSquashDense(f, dtype=self.dtype, name=f"cs_{i}")(h, cond)
+            h = jax.nn.leaky_relu(h)
+        h = ConcatSquashDense(self.out_channels, dtype=self.dtype, name="cs_out")(h, cond)
+        return x + h if self.res and x.shape[-1] == h.shape[-1] else h
 
 
 @NETS.register_module()
@@ -164,9 +328,11 @@ class PointwiseNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, t, ctx, **_):
+    def __call__(self, x, t, ctx, anchors=None, variances=None, seg_mask=None,
+                 valid_id=None, deterministic: bool = True):
         if isinstance(ctx, (list, tuple)):
             ctx = jnp.concatenate([c.reshape(c.shape[0], -1) for c in ctx], axis=-1)
+        ctx = ctx.reshape(ctx.shape[0], -1)
         tf = t.astype(jnp.float32)[:, None]
         time_emb = jnp.concatenate([tf, jnp.sin(tf), jnp.cos(tf)], axis=-1)
         cond = jnp.concatenate([time_emb, ctx], axis=-1)[:, None, :]

@@ -1,0 +1,130 @@
+"""Latent-GAN components: generator, discriminators, losses.
+
+Re-implements the reference's latent GAN baseline (reference:
+python/difffacto/models/generators/generator.py:18, models/discriminators/
+discriminator.py:7-120, utils/gan_losses.py, metrics/common.py:16-89): an MLP
+generator over a (truncated) Gaussian prior producing part codes, plain and
+class-conditional discriminators, WGAN/hinge losses with R1/gradient penalty.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import TorchBatchNorm
+from ..utils.gaussian import truncated_normal
+from ..utils.registry import DISCRIMINATORS, GENERATORS
+
+
+@GENERATORS.register_module()
+class Generator(nn.Module):
+    """MLP latent generator (generators/generator.py:18)."""
+
+    noise_dim: int = 64
+    out_dim: int = 256
+    hidden: Sequence[int] = (256, 512)
+    truncate: bool = False
+    trunc_std: float = 2.0
+    n_class: int = 4
+    per_part: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    def sample_noise(self, rng, num):
+        shape = (num, self.n_class, self.noise_dim) if self.per_part else (num, self.noise_dim)
+        if self.truncate:
+            return truncated_normal(rng, shape, trunc_std=self.trunc_std)
+        return jax.random.normal(rng, shape)
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        h = z
+        for f in self.hidden:
+            h = nn.Dense(f, dtype=self.dtype)(h)
+            h = nn.leaky_relu(h, 0.2)
+        return nn.Dense(self.out_dim, dtype=self.dtype)(h)
+
+
+@DISCRIMINATORS.register_module()
+class Discriminator(nn.Module):
+    """MLP critic over latent codes (discriminators/discriminator.py:7)."""
+
+    in_dim: int = 256
+    hidden: Sequence[int] = (512, 256, 128)
+    use_bn: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = x.reshape(x.shape[0], -1) if x.ndim > 2 else x
+        for f in self.hidden:
+            h = nn.Dense(f, dtype=self.dtype)(h)
+            if self.use_bn:
+                h = TorchBatchNorm(dtype=self.dtype)(h, use_running_average=not train)
+            h = nn.leaky_relu(h, 0.2)
+        return nn.Dense(1, dtype=self.dtype)(h)[:, 0]
+
+
+@DISCRIMINATORS.register_module()
+class DiscriminatorcGan(nn.Module):
+    """Class-conditional critic (discriminator.py:64): condition one-hot
+    concatenated to the code."""
+
+    in_dim: int = 256
+    n_class: int = 4
+    hidden: Sequence[int] = (512, 256, 128)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, class_onehot, train: bool = False):
+        h = x.reshape(x.shape[0], -1) if x.ndim > 2 else x
+        h = jnp.concatenate([h, class_onehot], axis=-1)
+        for f in self.hidden:
+            h = nn.Dense(f, dtype=self.dtype)(h)
+            h = nn.leaky_relu(h, 0.2)
+        return nn.Dense(1, dtype=self.dtype)(h)[:, 0]
+
+
+# ------------------------------------------------------------------ losses
+def gen_loss(fake_scores, kind: str = "wgan"):
+    """Generator loss (metrics/common.py gen_loss)."""
+    if kind == "wgan":
+        return -fake_scores.mean()
+    if kind == "hinge":
+        return -fake_scores.mean()
+    if kind == "ns":
+        return -jax.nn.log_sigmoid(fake_scores).mean()
+    raise ValueError(kind)
+
+
+def dis_loss(real_scores, fake_scores, kind: str = "wgan"):
+    """Critic loss (metrics/common.py dis_loss)."""
+    if kind == "wgan":
+        return fake_scores.mean() - real_scores.mean()
+    if kind == "hinge":
+        return (
+            jnp.maximum(0.0, 1.0 - real_scores).mean()
+            + jnp.maximum(0.0, 1.0 + fake_scores).mean()
+        )
+    if kind == "ns":
+        return (
+            -jax.nn.log_sigmoid(real_scores).mean()
+            - jnp.log1p(-jax.nn.sigmoid(fake_scores) + 1e-8).mean()
+        )
+    raise ValueError(kind)
+
+
+def gradient_penalty(critic_fn, rng, real, fake, weight: float = 10.0):
+    """WGAN-GP interpolate penalty (metrics/common.py gradient_penalty)."""
+    eps = jax.random.uniform(rng, (real.shape[0],) + (1,) * (real.ndim - 1))
+    interp = real * eps + fake * (1 - eps)
+
+    def score_sum(x):
+        return critic_fn(x).sum()
+
+    grads = jax.grad(score_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=-1) + 1e-12)
+    return weight * ((norms - 1.0) ** 2).mean()

@@ -1,0 +1,220 @@
+"""Smoke tests for secondary model families: PointNet++, vanilla/latent
+diffusions, GAN pieces, segmentor, decomposers, extra denoisers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from difffacto_tpu.models import (
+    AnchoredGeneration,
+    ComponentMixer,
+    Discriminator,
+    DiscriminatorcGan,
+    Generator,
+    LDMNet,
+    PDM,
+    PartCodeTransformer,
+    PointDiffusion,
+    PointNet2MSG,
+    PointNet2SSG,
+    PointNetDenseCls,
+    PointwiseNet,
+    PointwiseNet2,
+    UNet,
+    dis_loss,
+    gen_loss,
+    gradient_penalty,
+)
+
+RNGS = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2)}
+
+
+def randn(*shape, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape), jnp.float32)
+
+
+class TestPointNet2:
+    def test_ssg(self):
+        m = PointNet2SSG(additioinal_dim=4, zdim=16, num_anchors=4)
+        pc = randn(2, 1024, 7)
+        vs = jax.jit(lambda: m.init(RNGS, pc))()
+        out = m.apply(vs, pc)
+        assert out.shape == (2, 4, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_msg(self):
+        m = PointNet2MSG(additioinal_dim=4, zdim=8, num_anchors=2)
+        pc = randn(2, 1024, 7)
+        vs = jax.jit(lambda: m.init(RNGS, pc))()
+        out = m.apply(vs, pc)
+        assert out.shape == (2, 2, 8)
+
+
+class TestVanillaDiffusion:
+    def test_point_diffusion_is_vanilla(self):
+        d = PointDiffusion(num_timesteps=10, beta_1=1e-4, beta_T=0.02)
+        # anchors are forced to zero: q_sample must not depend on them
+        x = randn(2, 16, 3)
+        t = jnp.array([3, 7])
+        anchors = randn(2, 16, 3, seed=5)
+        a = d.q_sample(jax.random.PRNGKey(0), x, t, anchors)
+        b = d.q_sample(jax.random.PRNGKey(0), x, t, jnp.zeros_like(anchors))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_sampling_loop(self):
+        d = PointDiffusion(num_timesteps=5, beta_1=1e-4, beta_T=0.02)
+        model_fn = lambda inp, ts, c, anc, var, seg, vid: inp * 0.1
+        out = d.p_sample_loop(
+            model_fn, jax.random.PRNGKey(0), jnp.zeros((2, 16, 3)),
+        )
+        assert out["pred"].shape == (2, 16, 3)
+
+
+class TestGAN:
+    def test_generator_discriminator(self):
+        g = Generator(noise_dim=8, out_dim=16, n_class=4)
+        z = g.sample_noise(jax.random.PRNGKey(0), 4)
+        gv = g.init(RNGS, z)
+        fake = g.apply(gv, z)
+        assert fake.shape == (4, 4, 16)
+        dsc = Discriminator(in_dim=64)
+        dv = dsc.init(RNGS, fake)
+        s = dsc.apply(dv, fake)
+        assert s.shape == (4,)
+        assert np.isfinite(float(gen_loss(s)))
+        assert np.isfinite(float(dis_loss(s, s)))
+
+    def test_cgan_and_gp(self):
+        dsc = DiscriminatorcGan(in_dim=16, n_class=4)
+        x = randn(4, 16)
+        c = jnp.eye(4)
+        dv = dsc.init(RNGS, x, c)
+        critic = lambda a: dsc.apply(dv, a, c)
+        gp = gradient_penalty(critic, jax.random.PRNGKey(1), x, x + 0.1)
+        assert np.isfinite(float(gp))
+
+
+class TestHeads:
+    def test_segmentor(self):
+        m = PointNetDenseCls(n_class=4)
+        pc = randn(2, 128, 3)
+        vs = jax.jit(lambda: m.init(RNGS, pc))()
+        logp, g = m.apply(vs, pc)
+        assert logp.shape == (2, 128, 4)
+        # log-softmax rows sum to 1 in prob space
+        np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0, atol=1e-4)
+
+    def test_component_mixer(self):
+        m = ComponentMixer(
+            num_anchors=4, part_latent_dim=16, include_attention=True,
+            include_global_feature=True,
+        )
+        lat = randn(2, 4, 16)
+        vs = jax.jit(lambda: m.init(RNGS, lat))()
+        g, coarse, mixed = m.apply(vs, lat)
+        assert coarse.shape == (2, 4, 3) and mixed.shape == (2, 4, 16)
+        assert g.shape[0] == 2
+
+    def test_part_code_transformer(self):
+        m = PartCodeTransformer(
+            input_channels=16, output_channels=8, n_ctx=4, width=32, layers=2, heads=2,
+            param_cond=False, class_cond=True,
+        )
+        x = randn(2, 4, 16)
+        mask = jnp.ones((2, 4))
+        vs = jax.jit(lambda: m.init(RNGS, x, (), mask))()
+        z, codes = m.apply(vs, x, (), mask)
+        assert codes.shape == (2, 4, 8) and z.shape == (2, 32)
+
+
+class TestExtraDenoisers:
+    def test_ldmnet(self):
+        m = LDMNet(in_channels=16, out_channels=16, n_heads=2, d_head=8, depth=2,
+                   class_cond=True, n_class=4)
+        x = randn(2, 4, 16)
+        t = jnp.array([1, 3])
+        vs = jax.jit(lambda: m.init(RNGS, x, t))()
+        out = m.apply(vs, x, t)
+        assert out.shape == (2, 4, 16)
+
+    def test_unet(self):
+        m = UNet(in_channels=16, n_heads=2, d_head=8, depth=2)
+        x = randn(2, 32, 16)
+        t = jnp.array([1, 3])
+        vs = jax.jit(lambda: m.init(RNGS, x, t))()
+        out = m.apply(vs, x, t)
+        assert out.shape == (2, 32, 16)
+
+    def test_pointwisenet2(self):
+        m = PointwiseNet2(in_channels=3, out_channels=3, context_dim=16, num_anchors=4)
+        x = randn(2, 32, 3)
+        t = jnp.array([1, 3])
+        ctx = randn(2, 4, 16)
+        seg = jnp.zeros((2, 32), jnp.int32)
+        vs = jax.jit(lambda: m.init(RNGS, x, t, ctx, None, None, seg))()
+        out = m.apply(vs, x, t, ctx, None, None, seg)
+        assert out.shape == (2, 32, 3)
+
+
+class TestExtraOrchestrators:
+    def _pdm_cfg(self):
+        return dict(
+            encoder=dict(type="PointNet", zdim=16, point_dim=7, num_anchors=1),
+            diffusion=dict(
+                type="PointDiffusion",
+                net=dict(type="PointwiseNet", point_dim=3, context_dim=16,
+                         hidden=(32, 64, 32)),
+                beta_1=1e-4, beta_T=0.02, mode="linear",
+            ),
+            sampler=dict(type="Uniform"),
+            num_timesteps=5,
+            npoints=32,
+        )
+
+    def test_pdm_loss(self):
+        from test_model import tiny_batch
+
+        model = PDM(**self._pdm_cfg())
+        batch = tiny_batch(B=2)
+        vs = jax.jit(lambda r, b: model.init(r, b, 0, method=PDM.loss))(RNGS, batch)
+        losses, _ = model.apply(
+            vs, batch, 0, method=PDM.loss,
+            rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        assert np.isfinite(np.asarray(losses["mse_loss"]))
+
+    def test_anchored_generation_loss(self):
+        from test_model import tiny_batch
+
+        model = AnchoredGeneration(
+            decomposer=dict(
+                type="ComponentMixer", num_anchors=4, part_latent_dim=16,
+                include_attention=True,
+            ),
+            diffusion=dict(
+                type="AnchoredDiffusion",
+                net=dict(type="PointwiseNet2", in_channels=3, out_channels=3,
+                         context_dim=16, num_anchors=4, hidden=(32, 64, 32)),
+                beta_1=1e-4, beta_T=0.02, k=1.0, mode="linear",
+                model_mean_type="epsilon", learn_variance=False,
+                include_anchors=False, res=False,
+            ),
+            sampler=dict(type="Uniform"),
+            num_anchors=4,
+            num_timesteps=5,
+            npoints=32,
+            latent_dim=16,
+        )
+        batch = tiny_batch(B=2)
+        vs = jax.jit(lambda r, b: model.init(r, b, 0, method=AnchoredGeneration.loss))(
+            RNGS, batch
+        )
+        losses, _ = model.apply(
+            vs, batch, 0, method=AnchoredGeneration.loss,
+            rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        assert np.isfinite(np.asarray(losses["mse_loss"]))
