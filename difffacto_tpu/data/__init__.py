@@ -8,5 +8,6 @@ from .dataset_utils import (
     shapenet_chair_part_distribution,
     shapenet_part_normal_cat_to_id,
 )
+from .custom import CustomDataset, Partnet, ShapeNetParts
 from .shapenet_seg import ShapeNetSegPart, ShapeNetSegPartDataset
-from .synthetic import SyntheticPart, SyntheticPartDataset
+from .synthetic import SyntheticLanguagePart, SyntheticPart, SyntheticPartDataset

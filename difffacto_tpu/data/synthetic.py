@@ -154,6 +154,59 @@ class SyntheticPartDataset:
         )
 
 
+class SyntheticLanguageDataset:
+    """Triplet language-editing data stand-in (target / to-edit / distractor
+    shapes + a text prompt + part indicator), mirroring the PartGlot game
+    data layout the reference's LanguageRunner consumes."""
+
+    PROMPTS = [
+        ("a chair with thick legs", 2),
+        ("a chair with a tall back", 1),
+        ("a chair with a thin seat", 0),
+        ("a chair with arm rests", 3),
+    ]
+
+    def __init__(self, npoints=128, size=16, n_class=4, seed=0):
+        self.base = SyntheticPartDataset(npoints=npoints, size=size * 3, seed=seed)
+        self.size = size
+        self.n_class = n_class
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index):
+        from ..models.language import tokenizing
+
+        items = [self.base[3 * index + i] for i in range(3)]
+        prompt, part = self.PROMPTS[index % len(self.PROMPTS)]
+        ind = np.zeros(self.n_class, np.float32)
+        ind[part] = 1
+        return {
+            "input": np.stack([it["input"] for it in items]),
+            "ref": np.stack([it["ref"] for it in items]),
+            "attn_map": np.stack([it["attn_map"] for it in items]),
+            "ref_attn_map": np.stack([it["ref_attn_map"] for it in items]),
+            "seg_mask": np.stack([it["seg_mask"] for it in items]),
+            "ref_seg_mask": np.stack([it["ref_seg_mask"] for it in items]),
+            "part_indicator": ind,
+            "text": tokenizing(prompt),
+            "id": np.int32(index),
+            "token": f"lang_{index}",
+        }
+
+    def evaluate(self, results, save_num_batch, device=None):
+        return {}, {}
+
+
+@DATASETS.register_module()
+def SyntheticLanguagePart(batch_size, npoints=128, size=16, split="train",
+                          shuffle=True, drop_last=False, distributed=False, **_):
+    ds = SyntheticLanguageDataset(npoints=npoints, size=size,
+                                  seed=0 if split in ("train", "trainval") else 1)
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+
+
 @DATASETS.register_module()
 def SyntheticPart(
     batch_size,

@@ -19,6 +19,17 @@ from .gan import (
     gen_loss,
     gradient_penalty,
 )
+from .language import (
+    LSTM,
+    LatentLanguageFuser,
+    MultiHeadCrossAttention,
+    PartLanguageSelector,
+    Vocabulary,
+    ZeroMLP,
+    clip_style_loss,
+    tokenizing,
+    triplet_loss,
+)
 from .orchestrators_extra import PDM, AnchoredGeneration
 from .pointnet2 import PointNet2MSG, PointNet2SSG, PointnetFPModule, PointnetSAModule
 from .segmentor import ConditionalBatchNorm1d, PointNetDenseCls

@@ -74,16 +74,41 @@ class AnchorDiffAE(nn.Module):
     fix_part_ids: Optional[tuple] = None
     noise_reg_loss: bool = True
     reg_loss_weight: float = 1.0
+    pretrain_prior: bool = False
+    train_language: bool = False
+    language_encoder: Optional[dict] = None
+    clip_weight: float = 1.0
+    triplet_weight: float = 1.0
+    triplet_thresh: float = 0.1
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.encoder_mod = build_from_cfg(dict(self.encoder), ENCODERS, dtype=self.dtype)
         net_cfg = dict(self.diffusion["net"])
-        self.net = build_from_cfg(net_cfg, NETS, dtype=self.dtype)
+        if self.pretrain_prior:
+            # one denoiser per part for per-part diffusion pretraining
+            # (anchor_gen.py:84-86, 915-968)
+            self.net_list = [
+                build_from_cfg(dict(net_cfg), NETS, dtype=self.dtype)
+                for _ in range(self.num_anchors)
+            ]
+            self.net = self.net_list[0]
+        else:
+            self.net = build_from_cfg(net_cfg, NETS, dtype=self.dtype)
         self.diff = build_diffusion(self.diffusion, self.num_timesteps)
         self.t_sampler = build_from_cfg(
             dict(self.sampler), SAMPLERS, num_timesteps=self.num_timesteps
         )
+        if self.train_language:
+            from .language import ZeroMLP
+
+            zdim = self.encoder["encoder"]["zdim"]
+            self.language_enc = build_from_cfg(
+                dict(self.language_encoder or dict(type="LSTM")), ENCODERS
+            )
+            self.update_mlp = ZeroMLP(
+                [zdim * 2, zdim * 2, zdim], dtype=self.dtype, name="update_mlp"
+            )
 
     # ------------------------------------------------------------ primitives
     def denoise(self, x, t, ctx, anchors, variances, seg_mask, valid_id, train: bool = False):
@@ -233,6 +258,126 @@ class AnchorDiffAE(nn.Module):
         if self.noise_reg_loss:
             loss_dict["reg_loss"] = self.reg_loss_weight * (z**2).sum(-1)
         return loss_dict
+
+    # ------------------------------------------------------------- pretrain
+    def pretrain_loss(self, part_inputs, valid=None) -> Dict[str, jnp.ndarray]:
+        """Per-part diffusion pretraining (anchor_gen.py:915-938):
+        part_inputs (B, K, Np, 3) normalized per-part clouds; each part gets
+        its own denoiser conditioned on that part's latent token."""
+        from ..utils.gaussian import reparameterize_gaussian
+
+        B, K, Np, _ = part_inputs.shape
+        flat = part_inputs.reshape(B, K * Np, 3)
+        seg_flag = jnp.repeat(jnp.eye(K, dtype=flat.dtype)[None], B, axis=0)
+        seg_flag = jnp.repeat(seg_flag, Np, axis=1).reshape(B, K * Np, K)
+        pc_means, pc_logvars = self.encoder_mod.get_part_code(flat, seg_flag, train=True)
+        part_code = reparameterize_gaussian(self.make_rng("sample"), pc_means, pc_logvars)
+        loss_dict = dict(
+            self.encoder_mod.get_prior_loss(
+                part_code, pc_means, pc_logvars,
+                jnp.ones((B, K), flat.dtype) if valid is None else valid,
+            )
+        )
+        mse = 0.0
+        for i in range(K):
+            t, _ = self.t_sampler.sample(self.make_rng("sample"), B)
+            net_i = self.net_list[i]
+
+            def model_fn(inp, ts, c, anc, var, seg, vid, _n=net_i):
+                return _n(inp, ts, c, anc, var, seg, vid, deterministic=False)
+
+            dl = self.diff.training_losses(
+                model_fn,
+                self.make_rng("sample"),
+                part_inputs[:, i],
+                t,
+                anchors=jnp.zeros((B, Np, 3), flat.dtype),
+                variance=jnp.ones((B, Np, 3), flat.dtype)
+                if self.diff.learn_variance
+                else None,
+                ctx=part_code[:, i : i + 1],
+                seg_mask=jnp.zeros((B, Np), jnp.int32),
+            )
+            mse = mse + dl["mse_loss"]
+        loss_dict["mse_loss"] = mse / K
+        return loss_dict
+
+    def pretrain_sample(self, sample_num: int, num_points: int):
+        """Sample each part's pretrained diffusion independently
+        (anchor_gen.py:951-968). Returns list of (S, Np, 3)."""
+        codes = jax.random.normal(
+            self.make_rng("sample"),
+            (sample_num, self.num_anchors, self.encoder["encoder"]["zdim"]),
+        )
+        outs = []
+        for i in range(self.num_anchors):
+            net_i = self.net_list[i]
+
+            def model_fn(inp, ts, c, anc, var, seg, vid, _n=net_i):
+                return _n(inp, ts, c, anc, var, seg, vid, deterministic=True)
+
+            out = self.diff.p_sample_loop(
+                model_fn,
+                self.make_rng("sample"),
+                jnp.zeros((sample_num, num_points, 3)),
+                ctx=codes[:, i : i + 1],
+                seg_mask=jnp.zeros((sample_num, num_points), jnp.int32),
+            )
+            outs.append(out["pred"])
+        return outs
+
+    # ------------------------------------------------------------- language
+    def language_train_step(self, batch) -> Dict[str, jnp.ndarray]:
+        """Contrastive language-editing losses (anchor_gen.py:534-574).
+
+        batch: input (B, 3, N, 3) triplets (target / to-edit / distractor),
+        attn_map (B, 3, N, K), part_indicator (B, K), text (B, L) tokens.
+        """
+        from ..utils.gaussian import reparameterize_gaussian
+        from .language import clip_style_loss, triplet_loss
+
+        x = batch["input"]
+        attn = batch["attn_map"]
+        part_ind = batch["part_indicator"]
+        texts = batch["text"]
+        B, three, N, _ = x.shape
+        K = self.num_anchors
+
+        text_feat, _ = self.language_enc(texts, deterministic=False)
+        pc_means, pc_logvars = self.encoder_mod.get_part_code(
+            x.reshape(B * 3, N, 3), attn.reshape(B * 3, N, K), train=True
+        )
+        if self.encoder_mod.gen:
+            codes = reparameterize_gaussian(self.make_rng("sample"), pc_means, pc_logvars)
+        else:
+            codes = pc_means
+        zdim = codes.shape[-1]
+        part_id = jnp.argmax(part_ind, axis=-1).astype(jnp.int32)  # (B,)
+        per_shape = codes.reshape(B, 3, K, zdim)
+        ref_lat = jnp.take_along_axis(
+            per_shape, part_id[:, None, None, None], axis=2
+        )[:, :, 0]  # (B, 3, zdim)
+        tgt, to_edit, distractor = ref_lat[:, 0], ref_lat[:, 1], ref_lat[:, 2]
+        delta = self.update_mlp(jnp.concatenate([text_feat, to_edit], axis=-1))
+        modified = to_edit + delta
+        clip_l, cos = clip_style_loss(modified, tgt, distractor)
+        trip_l, pos_d, neg_d = triplet_loss(modified, tgt, distractor, self.triplet_thresh)
+        return {
+            "clip_loss": self.clip_weight * clip_l,
+            "triplet_loss": self.triplet_weight * trip_l.mean(),
+            "cos_sim_pos": cos[:, 0].mean(),
+            "cos_sim_neg": cos[:, 1].mean(),
+            "pos_diff": pos_d,
+            "neg_diff": neg_d,
+        }
+
+    def language_edit_latents(self, part_code, text_tokens, part_id):
+        """Apply a text edit to one part's latent (anchor_gen.py:576-723 core):
+        part_code (B, K, zdim) -> edited codes."""
+        text_feat, _ = self.language_enc(text_tokens, deterministic=True)
+        selected = part_code[:, part_id]
+        delta = self.update_mlp(jnp.concatenate([text_feat, selected], axis=-1))
+        return part_code.at[:, part_id].set(selected + delta)
 
     # ----------------------------------------------------- eval-path helpers
     def prepare_generation(self, sample_num, fixed_id, valid_id, epoch=0):

@@ -53,7 +53,18 @@ _BATCH_KEYS = (
     "part_shift",
     "part_scale",
     "noise",
+    "text",
+    "part_indicator",
+    "shift",
+    "scale",
 )
+
+
+def cfgdict(x):
+    """Config-or-dict -> plain dict (configs loaded from file are Config)."""
+    if x is None:
+        return None
+    return x.dump() if hasattr(x, "dump") else dict(x)
 
 
 def device_batch(batch: Dict) -> Dict:
@@ -86,9 +97,9 @@ class Runner:
         self.short_val = bool(getattr(args, "short_val", False))
 
         # model + data
-        self.model: AnchorDiffAE = build_from_cfg(cfg.model.dump(), MODELS)
-        self.train_loader, _ = build_from_cfg(cfg.dataset.train.dump(), DATASETS)
-        self.val_loader, _ = build_from_cfg(cfg.dataset.val.dump(), DATASETS)
+        self.model: AnchorDiffAE = build_from_cfg(cfgdict(cfg.model), MODELS)
+        self.train_loader, _ = build_from_cfg(cfgdict(cfg.dataset.train), DATASETS)
+        self.val_loader, _ = build_from_cfg(cfgdict(cfg.dataset.val), DATASETS)
         self.iters_per_epoch = max(len(self.train_loader), 1)
 
         # optimizer: reference's train_aligner / joint_train param groups
@@ -102,23 +113,24 @@ class Runner:
             else:
                 trainable_filter = lambda path: any("aligner" in p for p in path)
         self.tx = build_optimizer_from_cfg(
-            cfg.optimizer.dump() if cfg.optimizer else dict(type="Adam", lr=1e-3),
-            scheduler_cfg=cfg.scheduler.dump() if cfg.scheduler else None,
+            cfgdict(cfg.optimizer) or dict(type="Adam", lr=1e-3),
+            scheduler_cfg=cfgdict(cfg.scheduler),
             iters_per_epoch=self.iters_per_epoch,
             max_norm=self.max_norm,
             lr_scale_fn=lr_scale_fn,
         )
         self._step_fn = make_train_step(self.model, self.tx, trainable_filter=trainable_filter)
         # data mesh over the largest device count that divides the batch size
-        bs = int(cfg.dataset.train.batch_size)
+        bs = int(cfgdict(cfg.dataset.train)["batch_size"])
         n_dev = len(jax.devices())
         while n_dev > 1 and bs % n_dev != 0:
             n_dev -= 1
         self.mesh = make_mesh(jax.devices()[:n_dev])
 
-        # state init from one example batch
+        # state init from one example batch (subclasses override _init_variables
+        # to touch their extra submodules)
         example = device_batch(next(iter(self.train_loader)))
-        self.state = init_train_state(self.model, self.tx, example, seed=self.seed)
+        self.state = self._init_variables(example)
         self.state = jax.tree_util.tree_map(lambda x: replicate(self.mesh, x), self.state)
 
         self.epoch = 0
@@ -139,6 +151,9 @@ class Runner:
         resume = cfg.resume_path or search_ckpt(self.work_dir)
         if resume and os.path.exists(self._norm_ckpt(resume)):
             self.load(self._norm_ckpt(resume), model_only=bool(cfg.model_only))
+
+    def _init_variables(self, example):
+        return init_train_state(self.model, self.tx, example, seed=self.seed)
 
     @staticmethod
     def _norm_ckpt(path):
