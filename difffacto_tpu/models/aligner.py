@@ -101,14 +101,14 @@ class PartAlignerTransformer(nn.Module):
             h = jnp.concatenate([noise_tok[:, None], h], axis=1)
             if mask is not None:
                 mask = jnp.concatenate([tok_mask, mask], axis=1)
-            h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(h)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
         elif self.cimle and self.cond_noise_type == 3:
             emb = nn.Dense(2 * inner, dtype=self.dtype, name="emb_layer")(jax.nn.silu(noise))
             shift, scale = jnp.split(emb, 2, axis=-1)
-            h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(h)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
             h = h * (1.0 + scale[:, None]) + shift[:, None]
         else:
-            h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(h)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
 
         for i in range(self.depth):
             h = BasicTransformerBlock(
@@ -124,7 +124,7 @@ class PartAlignerTransformer(nn.Module):
                 name=f"block_{i}",
             )(h, None, mask, noise if self.cond_noise_type == 2 else None, deterministic)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="post_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_norm")(h)
         if self.cimle and self.cond_noise_type == 1:
             h = h[:, 1:]
         h = nn.Dense(self.out_channels, dtype=self.dtype, name="proj_out")(h)

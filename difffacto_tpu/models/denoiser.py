@@ -102,7 +102,7 @@ class TransformerNet(nn.Module):
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
         if self.add_t_to_x:
             h = h + t_embed[:, None]
-        h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
 
         mask = valid_id if self.mask_out_unreferenced_code else None
         block_cls = BasicTransformerBlock
@@ -119,7 +119,7 @@ class TransformerNet(nn.Module):
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(h, ctx, mask, None, deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="post_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_norm")(h)
 
         zero_out = in_ch == self.out_channels or self.res
         kinit = nn.initializers.zeros if zero_out else nn.initializers.lecun_normal()
@@ -186,7 +186,7 @@ class LDMNet(nn.Module):
             )
             pad = jnp.zeros((extra, inner), h.dtype)
             h = h + jnp.concatenate([pad, class_emb.astype(h.dtype)], axis=0)[None]
-        h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
         for i in range(self.depth):
             h = BasicTransformerBlock(
                 dim=inner, n_heads=self.n_heads, d_head=self.d_head,
@@ -194,7 +194,7 @@ class LDMNet(nn.Module):
                 context_dim=ctx.shape[-1] if ctx is not None else None,
                 single_attn=self.single_attn, dtype=self.dtype, name=f"block_{i}",
             )(h, ctx, mask, None, deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="post_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_norm")(h)
         if extra:
             h = h[:, extra:]
         return nn.Dense(
@@ -239,7 +239,7 @@ class UNet(nn.Module):
             # scale-shift conditioning on the time embedding
             ss = nn.Dense(2 * inner, dtype=self.dtype, name=f"emb_{i}")(jax.nn.silu(emb))
             scale, shift = jnp.split(ss, 2, axis=-1)
-            h = nn.LayerNorm(name=f"ln_{i}")(h) * (1 + scale[:, None]) + shift[:, None]
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(h) * (1 + scale[:, None]) + shift[:, None]
             h = BasicTransformerBlock(
                 dim=inner, n_heads=self.n_heads, d_head=self.d_head,
                 dropout=self.dropout,

@@ -137,7 +137,7 @@ class BasicTransformerBlock(nn.Module):
                     dropout=self.dropout,
                     dtype=self.dtype,
                     name="attn1",
-                )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), context, mask, deterministic)
+                )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), context, mask, deterministic)
                 + x
             )
         x = (
@@ -149,7 +149,7 @@ class BasicTransformerBlock(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 name="attn2",
-            )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context, mask, deterministic)
+            )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context, mask, deterministic)
             + x
         )
         if self.gated_ff and not self.adaln:
@@ -157,7 +157,7 @@ class BasicTransformerBlock(nn.Module):
             return FusedLNFF(
                 self.dim, dropout=self.dropout, dtype=self.dtype, name="ffn"
             )(x, deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         if self.adaln:
             emb = nn.Dense(2 * self.dim, dtype=self.dtype, name="emb_layers")(
                 jax.nn.silu(y)

@@ -153,7 +153,7 @@ class FusedLNFF(nn.Module):
         xf = x.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)
         var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-        h = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
         h = h.astype(cdt)
         hg = h @ w1.astype(cdt) + b1.astype(cdt)
         a, g = jnp.split(hg, 2, axis=-1)

@@ -28,7 +28,7 @@ def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    h = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    h = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
     h = h * scale_ref[:].astype(jnp.float32)[None, :] + bias_ref[:].astype(jnp.float32)[None, :]
     h = h.astype(x.dtype)
     # GEGLU: proj to 2*inner, a * gelu(g)
@@ -46,7 +46,7 @@ def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 
 @functools.partial(jax.jit, static_argnums=(7,))
 def fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, tile: int = 1024):
-    """x (T, D) -> x + FF(LN(x)); LN eps 1e-6? torch LayerNorm default 1e-5.
+    """x (T, D) -> x + FF(LN(x)); LN eps 1e-5 (torch LayerNorm parity).
 
     Shapes: w1 (D, 2*inner), b1 (2*inner,), w2 (inner, D), b2 (D,).
     T must be divisible by ``tile``.

@@ -1,24 +1,270 @@
 """Reference PyTorch checkpoint ingestion (pretrained/<cat>.pth -> pytrees).
 
-Maps the reference's torch state dict (reference: runner/runner.py:470-489
-save layout; module names from models/encoders/*, models/diffusions/*) onto
-this framework's Flax parameter tree. Implemented incrementally — see
-``load_reference_checkpoint``.
+Maps the reference's torch state dict (reference save layout:
+runner/runner.py:470-489; module names from models/encoders/pointnet.py,
+part_encoders.py, encoders/flow.py, diffusions/nets/attention.py) onto this
+framework's Flax parameter/batch-stats trees.
+
+Layout conventions handled:
+* 1x1 Conv1d (out, in, 1) and Linear (out, in)  ->  Dense kernel (in, out);
+* BatchNorm1d weight/bias/running_mean/running_var -> TorchBatchNorm
+  scale/bias + batch_stats mean/var;
+* grouped per-part Conv1d (out*K, in, 1) [pointnet.py:171-185] -> the
+  nn.vmap'd head's stacked kernels (K, in, out), likewise grouped BN -> (K, C);
+* per-part flow ModuleList [part_encoders.py:386-387] -> PerPartFlow's
+  stacked (K, ...) parameters;
+* LayerNorm+GEGLU FeedForward -> the fused FusedLNFF flat params
+  (ln_scale/ln_bias/w1/b1/w2/b2).
+
+The loader fails loudly: every torch key must be consumed and every target
+leaf it claims must match in shape.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
 
 
-def load_reference_checkpoint(path: str, model, state):
-    """Load a reference ``.pth`` checkpoint into a TrainState.
+def _k(prefix: str, name: str) -> str:
+    return f"{prefix}.{name}" if prefix else name
 
-    Not yet wired: the name-mapping table (torch channel-first convs /
-    grouped per-part convs -> channel-last Dense / vmapped heads) lands with
-    the parity milestone. Fails loudly rather than silently mis-mapping.
+
+def _t(w):
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _conv1d_to_dense(w):
+    """(out, in, 1) -> (in, out)."""
+    w = np.asarray(w)
+    return np.ascontiguousarray(w[..., 0].T)
+
+
+class TreeFiller:
+    """Writes numpy leaves into a nested dict by '/'-joined path with shape checks."""
+
+    def __init__(self, params: Dict, batch_stats: Dict):
+        self.trees = {"params": params, "batch_stats": batch_stats}
+        self.written: List[str] = []
+
+    def put(self, collection: str, path: str, value: np.ndarray):
+        node = self.trees[collection]
+        keys = [k for k in path.split("/") if k]
+        for k in keys[:-1]:
+            if k not in node:
+                raise KeyError(f"{collection}/{path}: missing subtree '{k}' "
+                               f"(have {sorted(node)})")
+            node = node[k]
+        leaf = keys[-1]
+        if leaf not in node:
+            raise KeyError(f"{collection}/{path}: missing leaf (have {sorted(node)})")
+        tgt = np.asarray(node[leaf])
+        value = np.asarray(value, tgt.dtype)
+        if tgt.shape != value.shape:
+            raise ValueError(
+                f"{collection}/{path}: shape {value.shape} != target {tgt.shape}"
+            )
+        node[leaf] = value
+        self.written.append(f"{collection}/{path}")
+
+
+def _map_head_mlp(sd, fill: TreeFiller, tprefix: str, jprefix: str, per_part: bool, K: int):
+    """mlp_m/mlp_v stacks (pointnet.py:157-185) -> _HeadMLP params."""
+    convs = [0, 3, 6]  # Sequential(conv,bn,relu, conv,bn,relu, conv)
+    bns = [1, 4]
+    for di, ci in enumerate(convs):
+        w = np.asarray(sd.pop(_k(tprefix, f"{ci}.weight")))
+        b = np.asarray(sd.pop(_k(tprefix, f"{ci}.bias")))
+        if per_part:
+            out_k, in_c = w.shape[0] // K, w.shape[1]
+            kern = np.stack(
+                [_conv1d_to_dense(w[k * out_k : (k + 1) * out_k]) for k in range(K)]
+            )  # (K, in, out)
+            bias = b.reshape(K, out_k)
+        else:
+            kern = _conv1d_to_dense(w)
+            bias = b
+        fill.put("params", f"{jprefix}/Dense_{di}/kernel", kern)
+        fill.put("params", f"{jprefix}/Dense_{di}/bias", bias)
+    for bi, ti in enumerate(bns):
+        for tname, jname, col in (
+            ("weight", "scale", "params"),
+            ("bias", "bias", "params"),
+            ("running_mean", "mean", "batch_stats"),
+            ("running_var", "var", "batch_stats"),
+        ):
+            v = np.asarray(sd.pop(_k(tprefix, f"{ti}.{tname}")))
+            if per_part:
+                v = v.reshape(K, -1)
+            fill.put(col, f"{jprefix}/TorchBatchNorm_{bi}/BatchNorm_0/{jname}", v)
+        sd.pop(_k(tprefix, f"{ti}.num_batches_tracked"), None)
+
+
+def _map_pointnet_stack(sd, fill: TreeFiller, tprefix: str, jprefix: str, n: int = 4):
+    """conv1..4 + bn1..4 (pointnet.py:132-139) -> ConvBNReLUStack."""
+    for i in range(n):
+        fill.put(
+            "params", f"{jprefix}/Dense_{i}/kernel",
+            _conv1d_to_dense(sd.pop(_k(tprefix, f"conv{i + 1}.weight"))),
+        )
+        fill.put("params", f"{jprefix}/Dense_{i}/bias", np.asarray(sd.pop(_k(tprefix, f"conv{i + 1}.bias"))))
+        for tname, jname, col in (
+            ("weight", "scale", "params"),
+            ("bias", "bias", "params"),
+            ("running_mean", "mean", "batch_stats"),
+            ("running_var", "var", "batch_stats"),
+        ):
+            fill.put(
+                col,
+                f"{jprefix}/TorchBatchNorm_{i}/BatchNorm_0/{jname}",
+                np.asarray(sd.pop(_k(tprefix, f"bn{i + 1}.{tname}"))),
+            )
+        sd.pop(_k(tprefix, f"bn{i + 1}.num_batches_tracked"), None)
+
+
+def _map_linear(sd, fill, tkey, jpath, bias=True):
+    fill.put("params", f"{jpath}/kernel", _t(sd.pop(f"{tkey}.weight")))
+    if bias and f"{tkey}.bias" in sd:
+        fill.put("params", f"{jpath}/bias", np.asarray(sd.pop(f"{tkey}.bias")))
+
+
+def _map_layernorm(sd, fill, tkey, jpath):
+    fill.put("params", f"{jpath}/scale", np.asarray(sd.pop(f"{tkey}.weight")))
+    fill.put("params", f"{jpath}/bias", np.asarray(sd.pop(f"{tkey}.bias")))
+
+
+def _map_feedforward_glu(sd, fill, tprefix, jprefix):
+    """FeedForward(glu) (attention.py:77-94): net.0.proj (GEGLU), net.2."""
+    _map_linear(sd, fill, _k(tprefix, "net.0.proj"), f"{jprefix}/GEGLU_0/Dense_0")
+    _map_linear(sd, fill, _k(tprefix, "net.2"), f"{jprefix}/Dense_0")
+
+
+def _map_block(sd, fill, tprefix, jprefix, single_attn=True):
+    """BasicTransformerBlock (attention.py:259-306) -> ours (fused FFN)."""
+    attns = [("attn2", "attn2", "norm2", "norm2")]
+    if not single_attn:
+        attns.insert(0, ("attn1", "attn1", "norm1", "norm1"))
+    for t_attn, j_attn, t_norm, j_norm in attns:
+        _map_layernorm(sd, fill, _k(tprefix, t_norm), f"{jprefix}/{j_norm}")
+        for proj in ("to_q", "to_k", "to_v"):
+            _map_linear(sd, fill, _k(tprefix, f"{t_attn}.{proj}"), f"{jprefix}/{j_attn}/{proj}", bias=False)
+        _map_linear(sd, fill, _k(tprefix, f"{t_attn}.to_out.0"), f"{jprefix}/{j_attn}/to_out")
+    # norm3 + GEGLU ff -> fused FusedLNFF flat params
+    fill.put("params", f"{jprefix}/ffn/ln_scale", np.asarray(sd.pop(_k(tprefix, "norm3.weight"))))
+    fill.put("params", f"{jprefix}/ffn/ln_bias", np.asarray(sd.pop(_k(tprefix, "norm3.bias"))))
+    fill.put("params", f"{jprefix}/ffn/w1", _t(sd.pop(_k(tprefix, "ff.net.0.proj.weight"))))
+    fill.put("params", f"{jprefix}/ffn/b1", np.asarray(sd.pop(_k(tprefix, "ff.net.0.proj.bias"))))
+    fill.put("params", f"{jprefix}/ffn/w2", _t(sd.pop(_k(tprefix, "ff.net.2.weight"))))
+    fill.put("params", f"{jprefix}/ffn/b2", np.asarray(sd.pop(_k(tprefix, "ff.net.2.bias"))))
+
+
+def _map_transformer_like(sd, fill, tprefix, jprefix, depth, single_attn=True,
+                          has_class_emb=False, has_time_embed=False):
+    _map_linear(sd, fill, _k(tprefix, "proj_in"), f"{jprefix}/proj_in")
+    _map_linear(sd, fill, _k(tprefix, "proj_out"), f"{jprefix}/proj_out")
+    _map_layernorm(sd, fill, _k(tprefix, "pre_norm"), f"{jprefix}/pre_norm")
+    _map_layernorm(sd, fill, _k(tprefix, "post_norm"), f"{jprefix}/post_norm")
+    if has_class_emb and _k(tprefix, "class_emb.weight") in sd:
+        fill.put("params", f"{jprefix}/class_emb", np.asarray(sd.pop(_k(tprefix, "class_emb.weight"))))
+    if has_time_embed:
+        _map_feedforward_glu(sd, fill, _k(tprefix, "time_embed"), f"{jprefix}/time_embed")
+    for d in range(depth):
+        _map_block(sd, fill, _k(tprefix, f"transformer_blocks.{d}"), f"{jprefix}/block_{d}",
+                   single_attn=single_attn)
+
+
+def _map_flows(sd, fill, tprefix, jprefix, n_class, depth):
+    """Per-part coupling flows (flow.py:7-79) -> PerPartFlow stacked params."""
+    for j in range(depth):
+        for li, dense in ((0, "Dense_0"), (2, "Dense_1"), (4, "Dense_2")):
+            ws = [
+                _t(sd.pop(_k(tprefix, f"{i}.chain.{j}.net_s_t.{li}.weight")))
+                for i in range(n_class)
+            ]
+            bs = [
+                np.asarray(sd.pop(_k(tprefix, f"{i}.chain.{j}.net_s_t.{li}.bias")))
+                for i in range(n_class)
+            ]
+            fill.put("params", f"{jprefix}/flows/chain_{j}/{dense}/kernel", np.stack(ws))
+            fill.put("params", f"{jprefix}/flows/chain_{j}/{dense}/bias", np.stack(bs))
+
+
+def convert_state_dict(
+    torch_sd: Dict[str, Any],
+    params: Dict,
+    batch_stats: Dict,
+    n_class: int = 4,
+    flow_depth: int = 14,
+    aligner_depth: int = 5,
+    denoiser_depth: int = 5,
+    per_part_mlp: bool = True,
+) -> Tuple[Dict, Dict, List[str]]:
+    """Convert a reference AnchorDiffAE state dict into (params, batch_stats).
+
+    ``params``/``batch_stats`` are template trees (from model.init) that get
+    overwritten in place (deep-copied first). Returns the filled trees plus
+    the list of torch keys that were left unconsumed.
     """
-    raise NotImplementedError(
-        "reference .pth ingestion is not wired yet; convert the checkpoint "
-        "with tools/convert_torch_ckpt.py (pending) or train from scratch"
+    import copy
+
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: np.asarray(v)
+          for k, v in torch_sd.items()}
+    params = copy.deepcopy(params)
+    batch_stats = copy.deepcopy(batch_stats)
+    fill = TreeFiller(params, batch_stats)
+
+    # --- PointNetV2 part encoder ------------------------------------------
+    enc_t = "encoder.encoder"
+    enc_j = "encoder_mod/encoder_net"
+    _map_pointnet_stack(sd, fill, enc_t, f"{enc_j}/pnet")
+    _map_head_mlp(sd, fill, f"{enc_t}.mlp_m", f"{enc_j}/mlp_m", per_part_mlp, n_class)
+    _map_head_mlp(sd, fill, f"{enc_t}.mlp_v", f"{enc_j}/mlp_v", per_part_mlp, n_class)
+
+    # --- part aligner transformer -----------------------------------------
+    if any(k.startswith("encoder.part_aligner.") for k in sd):
+        _map_transformer_like(
+            sd, fill, "encoder.part_aligner", "encoder_mod/aligner",
+            aligner_depth, single_attn=True, has_class_emb=True,
+        )
+
+    # --- per-part latent flows --------------------------------------------
+    if any(k.startswith("encoder.flow.") for k in sd):
+        _map_flows(sd, fill, "encoder.flow", "encoder_mod/flow", n_class, flow_depth)
+
+    # --- cross-diffusion denoiser -----------------------------------------
+    _map_transformer_like(
+        sd, fill, "diffusion.model", "net", denoiser_depth,
+        single_attn=True, has_class_emb=False, has_time_embed=True,
     )
+
+    leftovers = sorted(sd.keys())
+    return params, batch_stats, leftovers
+
+
+def load_reference_checkpoint(path: str, model, state, strict: bool = True):
+    """Load a reference ``.pth`` into a TrainState (params + batch_stats)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    torch_sd = ckpt.get("model", ckpt)
+    torch_sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in torch_sd.items()}
+
+    n_class = model.num_anchors
+    enc_cfg = dict(model.encoder)
+    params, batch_stats, leftovers = convert_state_dict(
+        torch_sd,
+        state.params,
+        state.batch_stats,
+        n_class=n_class,
+        flow_depth=enc_cfg.get("latent_flow_depth", 14),
+        aligner_depth=(enc_cfg.get("part_aligner") or {}).get("depth", 5),
+        denoiser_depth=model.diffusion["net"].get("depth", 5),
+        per_part_mlp=enc_cfg["encoder"].get("per_part_mlp", True),
+    )
+    # language/GAN extras and optimizer snapshots are expected leftovers;
+    # anything model-shaped left over is a mapping bug.
+    suspicious = [k for k in leftovers if k.startswith(("encoder.", "diffusion."))]
+    if suspicious and strict:
+        raise ValueError(f"unmapped reference weights: {suspicious[:10]} ...")
+    return state.replace(params=params, batch_stats=batch_stats)
