@@ -110,8 +110,10 @@ class ShapeNetSegPartDataset:
         fns = sorted(
             fn for fn in os.listdir(cat_dir) if os.path.splitext(fn)[0] in toks
         )
+        from ..native import fast_loadtxt
+
         for fn in fns:
-            data = np.loadtxt(os.path.join(cat_dir, fn)).astype(np.float32)
+            data = fast_loadtxt(os.path.join(cat_dir, fn))
             self._points.append(np.ascontiguousarray(data[:, :3]))
             self._segs.append((data[:, -1].astype(np.int32) - self.seg_base).astype(np.int8))
             self.tokens.append(os.path.splitext(fn)[0])
