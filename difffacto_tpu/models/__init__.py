@@ -7,7 +7,16 @@ from .anchor_diff import (
     sample_generation,
     select_best_noise,
 )
+from .completion import PCN, CoarsePCN, DiffuCompletion, PCNEncoder
 from .decomposers import ComponentMixer, ComponentMixerV2, PartCodeTransformer
+from .editors import (
+    AnchorDiffGenSuperSegments,
+    LatentDiffEdit,
+    ParameterTrainer,
+    PartLatentEditor,
+    PartglotClassifier,
+    PartglotFinetune,
+)
 from .denoiser import LDMNet, PointwiseNet, PointwiseNet2, TransformerNet, UNet
 from .diffusion import AnchoredDiffusion
 from .diffusion_extra import LDM, LatentDiffusionDrift, PointDiffusion
@@ -35,5 +44,6 @@ from .pointnet2 import PointNet2MSG, PointNet2SSG, PointnetFPModule, PointnetSAM
 from .segmentor import ConditionalBatchNorm1d, PointNetDenseCls
 from .flow import CouplingLayer, PerPartFlow, SequentialFlow
 from .part_encoder import PartEncoder, PartEncoderForTransformerDecoder, gather_per_point
+from .pointflow import CNF, ConcatSquashODE, PointFlow
 from .pointnet import PointNet, PointNetV2, PointNetVAEBase
 from .samplers import Uniform
