@@ -194,6 +194,28 @@ def ShapeNetParts(batch_size, path, npoints=2048, n_class=4, shuffle=True,
 
 
 @DATASETS.register_module()
+def ShapeNetSupSeg(batch_size, path, npoints=2048, n_class=25, shuffle=True,
+                   split="train", drop_last=False, eval_mode="ae", save_only=False,
+                   distributed=False, **kwargs):
+    """PartGlot super-segment data (shapenet_sup_seg.py): same contract with
+    n_class = number of super-segments (finer slots than semantic parts)."""
+    z = np.load(path, allow_pickle=True)
+    ds = _ArrayPartDataset(
+        np.asarray(z["points"]), np.asarray(z["labels"]), npoints, n_class,
+        eval_mode=eval_mode, save_only=save_only,
+        **{k: v for k, v in kwargs.items() if k in (
+            "scale_mode", "part_scale_mode", "clip", "class_choice")},
+    )
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+
+
+@DATASETS.register_module()
+def ShapeNetSupSegPartglot(*args, **kwargs):
+    """PartGlot game variant over super-segments (shapenet_sup_seg_partglot)."""
+    return ShapeNetSupSeg(*args, **kwargs)
+
+
+@DATASETS.register_module()
 def Partnet(batch_size, root, npoints=2048, n_class=4, shuffle=True, split="train",
             drop_last=False, eval_mode="ae", save_only=False, distributed=False, **kwargs):
     """PartNet dense clouds (partnet_dataset.py:14), stored as one npz per

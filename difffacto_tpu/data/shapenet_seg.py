@@ -52,6 +52,7 @@ class ShapeNetSegPartDataset:
         class_choice: str = "Chair",
         scale_mode: str = "shape_unit",
         part_scale_mode: Optional[str] = None,
+        part_normalize: bool = True,
         eval_mode: str = "ae",
         save_only: bool = False,
         augment: bool = False,
@@ -68,6 +69,7 @@ class ShapeNetSegPartDataset:
         self.class_choice = class_choice
         self.scale_mode = scale_mode
         self.part_scale_mode = part_scale_mode or scale_mode
+        self.part_normalize = part_normalize
         self.eval_mode = eval_mode
         self.save_only = save_only
         if augment:
@@ -156,7 +158,7 @@ class ShapeNetSegPartDataset:
         seg = seg_full[choice].copy()
 
         ori, shift, scale = pc_norm(ori, self.scale_mode)
-        out = np.zeros_like(ori)
+        out = ori.copy() if not self.part_normalize else np.zeros_like(ori)
         present = np.zeros(K, np.float32)
         shifts = np.zeros((K, 3), np.float32)
         scales = np.ones((K, 3), np.float32)
@@ -176,7 +178,8 @@ class ShapeNetSegPartDataset:
                 )
                 shifts[i] = pshift[0]
                 scales[i] = pscale[0] if pscale.shape[-1] == 3 else pscale[0].repeat(3)
-                out[idx] = norm_part
+                if self.part_normalize:
+                    out[idx] = norm_part
             elif cnt > 0:
                 # Relabel stragglers to their nearest neighbor's part
                 # (shapenet_seg.py:487-494).
@@ -239,6 +242,44 @@ class ShapeNetSegPartDataset:
             class_choice=self.class_choice,
             using_whole_chair_only=self.using_whole_chair_only,
         )
+
+
+@DATASETS.register_module()
+def ShapeNetSeg(
+    batch_size,
+    root,
+    npoints,
+    split,
+    num_workers=0,
+    eval_mode="ae",
+    scale_mode="shape_unit",
+    distributed=False,
+    shuffle=True,
+    drop_last=True,
+    class_choice="Chair",
+    save_only=False,
+    augment=False,
+    augment_shift=False,
+    augment_scale=False,
+    **_,
+):
+    """Whole-shape variant: input == ref (no per-part canonical normalization;
+    reference shapenet_seg.py:47-67 / _ShapeNetSeg)."""
+    ds = ShapeNetSegPartDataset(
+        root,
+        npoints,
+        split,
+        class_choice=class_choice,
+        scale_mode=scale_mode,
+        part_scale_mode=scale_mode,
+        part_normalize=False,
+        eval_mode=eval_mode,
+        save_only=save_only,
+        augment=augment,
+        augment_shift=augment_shift,
+        augment_scale=augment_scale,
+    )
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
 
 
 @DATASETS.register_module()

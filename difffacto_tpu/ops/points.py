@@ -94,8 +94,12 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 
 
 def fps(data: jnp.ndarray, number: int, ret_id: bool = False):
-    """Downsample (B, N, 3) -> (B, number, 3) via FPS (misc.py:195-204)."""
-    idx = furthest_point_sample(data, number)
+    """Downsample (B, N, 3) -> (B, number, 3) via FPS (misc.py:195-204).
+
+    Dispatches to the Pallas kernel on TPU (3.4x the XLA loop)."""
+    from .fps_pallas import fps_auto
+
+    idx = fps_auto(data, number)
     out = gather_points_nd(data, idx)
     if ret_id:
         return out, idx

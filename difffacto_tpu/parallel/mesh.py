@@ -61,3 +61,30 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host init (replaces torch init_dist/NCCL, dist_utils.py:9-24).
+
+    No-op on a single process; on multi-host TPU pods the args usually come
+    from the environment and can all be None.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
+
+
+def pmean_metrics(metrics, mesh: Optional[Mesh] = None):
+    """Cross-device mean of logged scalars (replaces reduce_tensor,
+    dist_utils.py:41-56). Under jit+GSPMD the reduction is automatic; this
+    is for explicitly device-local values."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.numpy.mean(jax.numpy.asarray(x)), metrics
+    )

@@ -210,6 +210,12 @@ class Runner:
     def train(self):
         rng = jax.random.PRNGKey(self.seed + 7919)
         t0 = time.time()
+        # jax.profiler trace (replaces the reference's absent tracing story,
+        # SURVEY.md §5.1): cfg.profile_epoch triggers one traced epoch dumped
+        # under work_dir/profile.
+        profiling = self.cfg.profile_epoch is not None and self.epoch == self.cfg.profile_epoch
+        if profiling:
+            jax.profiler.start_trace(os.path.join(self.work_dir, "profile"))
         for i, batch in enumerate(self.train_loader):
             db = shard_batch(self.mesh, device_batch(batch))
             self.state, metrics = self._step_fn(self.state, db, rng, self.epoch)
@@ -219,6 +225,13 @@ class Runner:
                 logd["epoch"] = self.epoch
                 logd["ips"] = (i + 1) / (time.time() - t0)
                 self.logger.log(logd, step=self.iter, total_steps=self.total_iter)
+        if profiling:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                self.state.params,
+            )
+            jax.profiler.stop_trace()
+            self.logger.print_log(f"profile trace -> {self.work_dir}/profile")
         self.epoch += 1
 
     # --------------------------------------------------------------- CIMLE
