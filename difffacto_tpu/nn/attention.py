@@ -127,6 +127,14 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, y=None, deterministic: bool = True):
+        inner = self.n_heads * self.d_head
+        if (
+            self.single_attn
+            and self.gated_ff
+            and not self.adaln
+            and inner == self.dim
+        ):
+            return self._fused_layout(x, context, mask, deterministic)
         if not self.single_attn:
             x = (
                 CrossAttention(
@@ -171,3 +179,98 @@ class BasicTransformerBlock(nn.Module):
             + x
         )
         return x
+
+    # ------------------------------------------------------- fused layout
+    def _fused_layout(self, x, context, mask, deterministic):
+        """Single-attn + GEGLU block with FLAT parameters so the TPU sampling
+        path can run the whole block as ONE Pallas kernel
+        (ops/fused_block.py). Training/CPU compute the identical math in XLA
+        from the same parameters."""
+        D = self.dim
+        h_, dh = self.n_heads, self.d_head
+        cdim = context.shape[-1] if context is not None else D
+        ki = nn.initializers.lecun_normal()
+        norm2_scale = self.param("norm2_scale", nn.initializers.ones, (D,), jnp.float32)
+        norm2_bias = self.param("norm2_bias", nn.initializers.zeros, (D,), jnp.float32)
+        wq = self.param("wq", ki, (D, D), jnp.float32)
+        wk = self.param("wk", ki, (cdim, D), jnp.float32)
+        wv = self.param("wv", ki, (cdim, D), jnp.float32)
+        wout = self.param("wout", ki, (D, D), jnp.float32)
+        bout = self.param("bout", nn.initializers.zeros, (D,), jnp.float32)
+        inner_ff = D * 4
+        ffn_ln_scale = self.param("ffn_ln_scale", nn.initializers.ones, (D,), jnp.float32)
+        ffn_ln_bias = self.param("ffn_ln_bias", nn.initializers.zeros, (D,), jnp.float32)
+        ffn_w1 = self.param("ffn_w1", ki, (D, 2 * inner_ff), jnp.float32)
+        ffn_b1 = self.param("ffn_b1", nn.initializers.zeros, (2 * inner_ff,), jnp.float32)
+        ffn_w2 = self.param("ffn_w2", ki, (inner_ff, D), jnp.float32)
+        ffn_b2 = self.param("ffn_b2", nn.initializers.zeros, (D,), jnp.float32)
+
+        cdt = self.dtype or x.dtype
+        scale = dh**-0.5
+        B, N = x.shape[0], x.shape[1]
+        M = context.shape[1] if context is not None else N
+
+        use_kernel = (
+            deterministic
+            and context is not None
+            and M <= 8
+            and D % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            from ..ops.fused_block import fused_denoiser_block_call
+            from ..ops.fused_ff import pick_tile
+
+            tile = pick_tile(N)
+            if tile:
+                ctx_c = context.astype(cdt)
+                k = (ctx_c @ wk.astype(cdt)).reshape(B, M, h_, dh)
+                v = (ctx_c @ wv.astype(cdt)).reshape(B, M, h_, dh)
+                eye = jnp.eye(h_, dtype=cdt)
+                k_bd = jnp.einsum("bmhd,gh->bgdhm", k, eye).reshape(B, D, h_ * M)
+                v_bd = jnp.einsum("bmhd,hg->bhmgd", v, eye).reshape(B, h_ * M, D)
+                lane_mask = (
+                    jnp.tile(mask.astype(cdt), (1, h_))
+                    if mask is not None
+                    else jnp.ones((B, h_ * M), cdt)
+                )
+                gsum = jnp.kron(jnp.eye(h_, dtype=cdt), jnp.ones((M, M), cdt))
+                return fused_denoiser_block_call(
+                    x.astype(cdt), k_bd, v_bd, lane_mask, gsum,
+                    norm2_scale.astype(cdt), norm2_bias.astype(cdt),
+                    wq.astype(cdt), wout.astype(cdt), bout,
+                    ffn_ln_scale.astype(cdt), ffn_ln_bias.astype(cdt),
+                    ffn_w1.astype(cdt), ffn_b1,
+                    ffn_w2.astype(cdt), ffn_b2,
+                    scale, tile=tile,
+                ).astype(x.dtype)
+
+        # ---- unfused path, identical math and parameters
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        hq = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * norm2_scale + norm2_bias).astype(cdt)
+        kv_src = context.astype(cdt) if context is not None else hq
+        q = (hq @ wq.astype(cdt)).reshape(B, N, h_, dh)
+        k = (kv_src @ wk.astype(cdt)).reshape(B, M, h_, dh)
+        v = (kv_src @ wv.astype(cdt)).reshape(B, M, h_, dh)
+        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        if mask is not None:
+            sim = jnp.where(mask[:, None, None, :].astype(bool), sim, jnp.finfo(sim.dtype).min)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
+        out = out @ wout.astype(cdt) + bout.astype(cdt)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        x = x + out.astype(x.dtype)
+
+        # GEGLU feed-forward, same params as the kernel path
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        hf = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * ffn_ln_scale + ffn_ln_bias).astype(cdt)
+        hg = hf @ ffn_w1.astype(cdt) + ffn_b1.astype(cdt)
+        a, g = jnp.split(hg, 2, axis=-1)
+        act = a * jax.nn.gelu(g)
+        act = nn.Dropout(self.dropout)(act, deterministic=deterministic)
+        out = act @ ffn_w2.astype(cdt) + ffn_b2.astype(cdt)
+        return x + out.astype(x.dtype)

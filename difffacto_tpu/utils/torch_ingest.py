@@ -141,22 +141,28 @@ def _map_feedforward_glu(sd, fill, tprefix, jprefix):
 
 
 def _map_block(sd, fill, tprefix, jprefix, single_attn=True):
-    """BasicTransformerBlock (attention.py:259-306) -> ours (fused FFN)."""
-    attns = [("attn2", "attn2", "norm2", "norm2")]
+    """BasicTransformerBlock (attention.py:259-306) -> the fused flat layout
+    (single-attn + GEGLU blocks own their params directly so the whole block
+    runs as one Pallas kernel on the sampling path)."""
     if not single_attn:
-        attns.insert(0, ("attn1", "attn1", "norm1", "norm1"))
-    for t_attn, j_attn, t_norm, j_norm in attns:
-        _map_layernorm(sd, fill, _k(tprefix, t_norm), f"{jprefix}/{j_norm}")
+        # non-fused layout keeps submodules
+        _map_layernorm(sd, fill, _k(tprefix, "norm1"), f"{jprefix}/norm1")
         for proj in ("to_q", "to_k", "to_v"):
-            _map_linear(sd, fill, _k(tprefix, f"{t_attn}.{proj}"), f"{jprefix}/{j_attn}/{proj}", bias=False)
-        _map_linear(sd, fill, _k(tprefix, f"{t_attn}.to_out.0"), f"{jprefix}/{j_attn}/to_out")
-    # norm3 + GEGLU ff -> fused FusedLNFF flat params
-    fill.put("params", f"{jprefix}/ffn/ln_scale", np.asarray(sd.pop(_k(tprefix, "norm3.weight"))))
-    fill.put("params", f"{jprefix}/ffn/ln_bias", np.asarray(sd.pop(_k(tprefix, "norm3.bias"))))
-    fill.put("params", f"{jprefix}/ffn/w1", _t(sd.pop(_k(tprefix, "ff.net.0.proj.weight"))))
-    fill.put("params", f"{jprefix}/ffn/b1", np.asarray(sd.pop(_k(tprefix, "ff.net.0.proj.bias"))))
-    fill.put("params", f"{jprefix}/ffn/w2", _t(sd.pop(_k(tprefix, "ff.net.2.weight"))))
-    fill.put("params", f"{jprefix}/ffn/b2", np.asarray(sd.pop(_k(tprefix, "ff.net.2.bias"))))
+            _map_linear(sd, fill, _k(tprefix, f"attn1.{proj}"), f"{jprefix}/attn1/{proj}", bias=False)
+        _map_linear(sd, fill, _k(tprefix, "attn1.to_out.0"), f"{jprefix}/attn1/to_out")
+    fill.put("params", f"{jprefix}/norm2_scale", np.asarray(sd.pop(_k(tprefix, "norm2.weight"))))
+    fill.put("params", f"{jprefix}/norm2_bias", np.asarray(sd.pop(_k(tprefix, "norm2.bias"))))
+    fill.put("params", f"{jprefix}/wq", _t(sd.pop(_k(tprefix, "attn2.to_q.weight"))))
+    fill.put("params", f"{jprefix}/wk", _t(sd.pop(_k(tprefix, "attn2.to_k.weight"))))
+    fill.put("params", f"{jprefix}/wv", _t(sd.pop(_k(tprefix, "attn2.to_v.weight"))))
+    fill.put("params", f"{jprefix}/wout", _t(sd.pop(_k(tprefix, "attn2.to_out.0.weight"))))
+    fill.put("params", f"{jprefix}/bout", np.asarray(sd.pop(_k(tprefix, "attn2.to_out.0.bias"))))
+    fill.put("params", f"{jprefix}/ffn_ln_scale", np.asarray(sd.pop(_k(tprefix, "norm3.weight"))))
+    fill.put("params", f"{jprefix}/ffn_ln_bias", np.asarray(sd.pop(_k(tprefix, "norm3.bias"))))
+    fill.put("params", f"{jprefix}/ffn_w1", _t(sd.pop(_k(tprefix, "ff.net.0.proj.weight"))))
+    fill.put("params", f"{jprefix}/ffn_b1", np.asarray(sd.pop(_k(tprefix, "ff.net.0.proj.bias"))))
+    fill.put("params", f"{jprefix}/ffn_w2", _t(sd.pop(_k(tprefix, "ff.net.2.weight"))))
+    fill.put("params", f"{jprefix}/ffn_b2", np.asarray(sd.pop(_k(tprefix, "ff.net.2.bias"))))
 
 
 def _map_transformer_like(sd, fill, tprefix, jprefix, depth, single_attn=True,
