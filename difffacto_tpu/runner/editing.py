@@ -175,6 +175,76 @@ def interpolate_latent(
     return result
 
 
+def interpolate_two_shapes(
+    model: AnchorDiffAE, variables, rng, pcds1, mask1, pcds2, mask2,
+    part_id: int, mid_num: int = 10,
+):
+    """Interpolate part ``part_id`` between two EXPLICIT shapes
+    (anchor_gen.py:188-204 + part_encoders.py:1009-1050).
+
+    pcds1/pcds2 (B, N, 3); mask1/mask2 (B, N) int part labels.
+    Returns pred (B, mid_num, npoints, 3) and seg masks.
+    """
+    K_cls = model.num_anchors
+    rng_c1, rng_c2, rng_noise, rng_dec = jax.random.split(rng, 4)
+    one1 = jax.nn.one_hot(jnp.asarray(mask1), K_cls)
+    one2 = jax.nn.one_hot(jnp.asarray(mask2), K_cls)
+    c1 = np.array(_apply(model, variables, AnchorDiffAE.encode_part_code,
+                         jnp.asarray(pcds1), one1, True, rng=rng_c1))
+    c2 = np.asarray(_apply(model, variables, AnchorDiffAE.encode_part_code,
+                           jnp.asarray(pcds2), one2, True, rng=rng_c2))
+    B = c1.shape[0]
+    valid = np.zeros((B, K_cls), np.float32)
+    for i in range(K_cls):
+        valid[:, i] = (np.asarray(mask1) == i).any(1)
+
+    dx = np.linspace(0, 1, mid_num, dtype=np.float32).reshape(1, mid_num, 1)
+    interp = c1[:, part_id][:, None] + (c2[:, part_id][:, None] - c1[:, part_id][:, None]) * dx
+    codes = np.repeat(c1[:, None], mid_num, axis=1)
+    codes[:, :, part_id] = interp
+    codes = jnp.asarray(codes.reshape(B * mid_num, K_cls, -1))
+    valid_r = jnp.repeat(jnp.asarray(valid), mid_num, axis=0)
+    noise = jax.random.normal(rng_noise, (B, 32)) if model.cimle else None
+    noise_r = jnp.repeat(noise, mid_num, axis=0) if noise is not None else None
+    seg = jnp.repeat(jnp.asarray(np.asarray(mask1).astype(np.int32)), mid_num, axis=0)
+
+    ctx, mean_pp, var_pp, seg, _ = _apply(
+        model, variables, AnchorDiffAE.latents_to_decode, codes, valid_r, noise_r, seg
+    )
+    out = decode(model, variables, rng_dec, mean_pp, ctx=ctx, variance=var_pp,
+                 seg_mask=seg, valid_id=valid_r, ret_traj=False)
+    N = seg.shape[1]
+    return (
+        np.asarray(out["pred"]).reshape(B, mid_num, N, 3),
+        np.asarray(seg).reshape(B, mid_num, N),
+    )
+
+
+def select_best_noise_whole(model: AnchorDiffAE, variables, rng, batch, num: int = 10):
+    """CIMLE eval_whole noise selection: decode every hypothesis through the
+    full reverse chain and pick the lowest-Chamfer reconstruction per shape
+    (anchor_gen.py:815-836). Returns (noise (B, num, D), best_idx, selected)."""
+    from ..models.anchor_diff import reconstruct, select_best_noise
+    from ..ops.chamfer import chamfer_l2
+
+    rng_n, rng_dec = jax.random.split(rng)
+    noise, _, _ = select_best_noise(model, variables, rng_n, batch, num)
+    out = reconstruct(model, variables, rng_dec, batch, noise=noise)
+    B = batch["ref"].shape[0]
+    pred = out["pred"].reshape(B, num, -1, 3)
+    ref = jnp.asarray(batch["ref"])
+    shift = jnp.asarray(batch["shift"])
+    scale = jnp.asarray(batch["scale"])
+    pred_w = pred * scale[:, None] + shift[:, None]
+    ref_w = ref * scale + shift
+    cds = jax.vmap(lambda p, r: chamfer_l2(p, jnp.broadcast_to(r[None], p.shape)))(
+        pred_w, ref_w
+    )  # (B, num)
+    best = jnp.argmin(cds, axis=1)
+    selected = jnp.take_along_axis(noise, best[:, None, None], axis=1)[:, 0]
+    return noise, best, selected
+
+
 def interpolate_params(model: AnchorDiffAE, variables, rng, batch, part_id: int = 1):
     """Transformation editing: stretch part ``part_id`` along x/z by factors
     sqrt(dx), dx in [1, 5] (anchor_gen.py:338-410)."""

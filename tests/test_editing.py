@@ -99,3 +99,30 @@ def test_shape_edit(model_setup):
     )
     assert out["pred"].shape == (2, NPOINTS, 3)
     assert np.isfinite(out["loss"])
+
+
+def test_interpolate_two_shapes(model_setup):
+    from difffacto_tpu.runner.editing import interpolate_two_shapes
+
+    model, variables, _ = model_setup
+    b1, b2 = tiny_batch(B=2), tiny_batch(B=2, rng=np.random.RandomState(9))
+    pred, seg = interpolate_two_shapes(
+        model, variables, jax.random.PRNGKey(11),
+        np.asarray(b1["input"]), np.asarray(b1["ref_seg_mask"]),
+        np.asarray(b2["input"]), np.asarray(b2["ref_seg_mask"]),
+        part_id=1, mid_num=3,
+    )
+    assert pred.shape == (2, 3, NPOINTS, 3)
+    assert np.isfinite(pred).all()
+
+
+def test_select_best_noise_whole(model_setup):
+    from difffacto_tpu.runner.editing import select_best_noise_whole
+
+    model, variables, _ = model_setup
+    batch = tiny_batch(B=2)
+    noise, best, selected = select_best_noise_whole(
+        model, variables, jax.random.PRNGKey(12), batch, num=3
+    )
+    assert noise.shape[:2] == (2, 3)
+    assert selected.shape == (2, noise.shape[-1])
