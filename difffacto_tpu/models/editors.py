@@ -269,6 +269,45 @@ class AnchorDiffGenSuperSegments(AnchorDiffAE):
 
 
 @MODELS.register_module()
+class Aligner(nn.Module):
+    """Standalone parameter regressor (networks/parameter_regressor.py:12-60):
+    encoder codes -> per-part 6-dof params, gaussian-likelihood fit loss."""
+
+    encoder: dict
+    n_class: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.encoder_mod = build_from_cfg(
+            dict(self.encoder), ENCODERS, num_anchors=self.n_class, dtype=self.dtype
+        )
+        self.regressor = MLP([512, 512, 512, 512, 64, 6], dtype=self.dtype)
+
+    def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
+        from ..models.part_encoder import gather_per_point
+        from ..utils.gaussian import gaussian_log_likelihood
+
+        ref = batch["ref"]
+        seg_mask = batch["ref_seg_mask"].astype(jnp.int32)
+        seg_flag = batch["ref_attn_map"]
+        valid_id = batch["present"]
+        B = ref.shape[0]
+        codes = self.encoder_mod(
+            jnp.concatenate([ref, seg_flag], axis=-1), train=True
+        )
+        if isinstance(codes, tuple):
+            codes = codes[0]
+        params = self.regressor(codes.reshape(B, self.n_class, -1))  # (B, K, 6)
+        mean, logvar = params[..., :3], params[..., 3:]
+        mean_pp = gather_per_point(mean, seg_mask)
+        logvar_pp = gather_per_point(logvar, seg_mask)
+        flag_pp = gather_per_point(valid_id[..., None], seg_mask)[..., 0]
+        ll = -gaussian_log_likelihood(ref, mean_pp, logvar_pp).mean(-1)
+        fit = (ll * flag_pp).sum(-1) / flag_pp.sum(-1)
+        return {"fit_loss": fit.mean()}
+
+
+@MODELS.register_module()
 class PartglotFinetune(nn.Module):
     """Listener-guided finetune step (partglot_finetune.py): maximize the
     frozen listener's preference for language-edited generations."""

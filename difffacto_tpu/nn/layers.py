@@ -179,6 +179,31 @@ class MLP(nn.Module):
         return x
 
 
+class SineLayer(nn.Module):
+    """SIREN-style sine activation layer (reference nets/utils.py SineLayer),
+    used by the denoiser's use_sine_proj_in option."""
+
+    features: int
+    is_first: bool = False
+    omega_0: float = 30.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        if self.is_first:
+            init = nn.initializers.uniform(scale=2.0 / in_f)  # ~U(-1/in, 1/in)
+        else:
+            bound = math.sqrt(6.0 / in_f) / self.omega_0
+            init = nn.initializers.uniform(scale=2.0 * bound)
+
+        def centered(key, shape, dtype=jnp.float32):
+            return init(key, shape, dtype) - (1.0 / in_f if self.is_first else math.sqrt(6.0 / in_f) / self.omega_0)
+
+        h = nn.Dense(self.features, kernel_init=centered, dtype=self.dtype)(x)
+        return jnp.sin(self.omega_0 * h)
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm over the channel (last) axis with torch-compatible state.
 
