@@ -150,6 +150,117 @@ def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return out
 
 
+def separate_point_cloud(
+    xyz,
+    num_points: int,
+    crop,
+    fixed_points=None,
+    padding_zeros: bool = False,
+    rng=None,
+):
+    """Crop a neighborhood out of each cloud -> (incomplete, cropped).
+
+    Device-side, batched re-implementation of the reference's completion-data
+    generator (reference: python/difffacto/utils/misc.py:206-259): points are
+    ranked by distance to a random unit direction (or ``fixed_points``); the
+    nearest ``crop`` points become the missing region, the rest the partial
+    input (or, with ``padding_zeros``, are zeroed in place).
+
+    Deltas from the reference (deliberate, for static shapes under jit): a
+    list-valued ``crop`` draws ONE count for the whole batch instead of per
+    sample, and both halves are FPS-resampled to 2048 like the reference.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.points import fps
+
+    B, n, c = xyz.shape
+    assert n == num_points and c == 3
+    if crop == num_points:
+        return xyz, None
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    crng, nrng = jax.random.split(rng)
+
+    resample = isinstance(crop, (list, tuple))
+    if resample:
+        lo, hi = crop
+        num_crop = int(np.random.randint(lo, hi))
+    else:
+        num_crop = int(crop)
+
+    if fixed_points is None:
+        center = jax.random.normal(crng, (B, 1, 3))
+        center = center / jnp.linalg.norm(center, axis=-1, keepdims=True)
+    else:
+        if isinstance(fixed_points, (list, tuple)):
+            fixed_points = fixed_points[int(np.random.randint(len(fixed_points)))]
+        center = jnp.broadcast_to(jnp.asarray(fixed_points).reshape(1, 1, 3), (B, 1, 3))
+
+    dist = jnp.linalg.norm(xyz - center, axis=-1)  # (B, n)
+    order = jnp.argsort(dist, axis=-1)             # nearest first
+    if padding_zeros:
+        drop = jnp.zeros((B, n), bool)
+        drop = jnp.take_along_axis(
+            drop.at[:, :num_crop].set(True), jnp.argsort(order, axis=-1), axis=1
+        )
+        input_data = jnp.where(drop[..., None], 0.0, xyz)
+    else:
+        keep_idx = order[:, num_crop:]
+        input_data = jnp.take_along_axis(xyz, keep_idx[..., None], axis=1)
+    crop_data = jnp.take_along_axis(xyz, order[:, :num_crop, None], axis=1)
+
+    if resample:
+        input_data = fps(input_data, 2048)
+        crop_data = fps(crop_data, 2048)
+    return input_data, crop_data
+
+
+class CroppingDataLoader:
+    """DataLoader wrapper producing partial-cloud batches for completion
+    training (reference dataset_utils.py:18-53 DataLoaderWrapper+IterWrapper):
+    each batch gains ``partial`` / ``missing`` views of ``input`` via
+    :func:`separate_point_cloud` on device."""
+
+    def __init__(self, loader, crop, fixed_points=None, padding_zeros=False, seed: int = 0):
+        self.loader = loader
+        self.crop = crop
+        self.fixed_points = fixed_points
+        self.padding_zeros = padding_zeros
+        self._seed = seed
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+        self._epoch = epoch
+
+    def evaluate(self, results, save_num_batch, device=None):
+        return self.loader.evaluate(results, save_num_batch, device)
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = jax.random.PRNGKey(self._seed + getattr(self, "_epoch", 0))
+        for batch in self.loader:
+            rng, sub = jax.random.split(rng)
+            pts = jnp.asarray(batch["input"])
+            partial, missing = separate_point_cloud(
+                pts, pts.shape[1], self.crop,
+                fixed_points=self.fixed_points,
+                padding_zeros=self.padding_zeros,
+                rng=sub,
+            )
+            batch = dict(batch)
+            batch["partial"] = partial
+            if missing is not None:
+                batch["missing"] = missing
+            yield batch
+
+
 class DataLoader:
     """Minimal epoch iterator over an indexable dataset with numpy collation.
 

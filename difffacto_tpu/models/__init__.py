@@ -39,7 +39,14 @@ from .language import (
     tokenizing,
     triplet_loss,
 )
-from .orchestrators_extra import PDM, AnchoredGeneration
+from .orchestrators_extra import PDM, AnchorDiffGenPartglot, AnchoredGeneration
+from .supseg_encoders import (
+    MeanVarianceRegressor,
+    PartglotSupSegsEncoderWithCBN,
+    PCNPartEncoder,
+    Pnet2Stage,
+    SupSegsEncoder,
+)
 from .pointnet2 import PointNet2MSG, PointNet2SSG, PointnetFPModule, PointnetSAModule
 from .segmentor import ConditionalBatchNorm1d, PointNetDenseCls
 from .flow import CouplingLayer, PerPartFlow, SequentialFlow
@@ -48,6 +55,11 @@ from .part_encoder_variants import (
     PartAlignerCIMLE,
     PartEncoderCIMLE,
     PartEncoderForPartnet,
+    PartEncoderForPartnetAndTransformerDecoder,
+    PartEncoderForTransformerDecoderCIMLE,
+    PartEncoderForTransformerDecoderKLLoss,
+    PartEncoderForTransformerDecoderKLLossCIMLE,
+    PartEncoderNoMixer,
     PartEncoderVAE,
     PartEncoderWithKLLoss,
     PartEncodercVAE,

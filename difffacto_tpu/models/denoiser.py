@@ -14,6 +14,7 @@ the diffusion module.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -21,8 +22,14 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.attention import BasicTransformerBlock
-from ..nn.layers import FeedForward, timestep_embedding
+from ..nn.layers import FeedForward, LNParams, ln_affine, timestep_embedding
 from ..utils.registry import NETS
+
+def _pallas_interpret() -> bool:
+    """Force the whole-trunk Pallas kernel in interpret mode off-TPU (CPU
+    parity tests exercise the exact kernel program). Read per call so tests
+    can toggle it."""
+    return os.environ.get("DIFFFACTO_PALLAS_INTERPRET", "") == "1"
 
 
 @NETS.register_module()
@@ -102,14 +109,17 @@ class TransformerNet(nn.Module):
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
         if self.add_t_to_x:
             h = h + t_embed[:, None]
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
+        # pre/post norms own bare params (same tree as nn.LayerNorm) so the
+        # whole-trunk kernel can fuse them; unfused paths use ln_affine.
+        pre_scale, pre_bias = LNParams(inner, name="pre_norm")()
+        post_scale, post_bias = LNParams(inner, name="post_norm")()
 
         mask = valid_id if self.mask_out_unreferenced_code else None
         block_cls = BasicTransformerBlock
         if self.use_checkpoint:
             block_cls = nn.remat(BasicTransformerBlock, static_argnums=(4,))
-        for i in range(self.depth):
-            h = block_cls(
+        blocks = [
+            block_cls(
                 dim=inner,
                 n_heads=self.n_heads,
                 d_head=self.d_head,
@@ -118,8 +128,14 @@ class TransformerNet(nn.Module):
                 single_attn=self.single_attn,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(h, ctx, mask, None, deterministic)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_norm")(h)
+            )
+            for i in range(self.depth)
+        ]
+
+        h = self._trunk(
+            h, ctx, mask, blocks, pre_scale, pre_bias, post_scale, post_bias,
+            deterministic,
+        )
 
         zero_out = in_ch == self.out_channels or self.res
         kinit = nn.initializers.zeros if zero_out else nn.initializers.lecun_normal()
@@ -135,6 +151,84 @@ class TransformerNet(nn.Module):
         if self.res:
             return out + x_in[..., : out.shape[-1]]
         return out
+
+    def _trunk(
+        self, h, ctx, mask, blocks, pre_scale, pre_bias, post_scale, post_bias,
+        deterministic,
+    ):
+        """pre-LN -> depth blocks -> post-LN.
+
+        On the TPU sampling path the whole trunk runs as ONE Pallas launch
+        (ops/fused_core.py) with every block's flat params stacked along a
+        leading depth axis: the (B, N, inner) activations make a single HBM
+        round trip per diffusion step instead of one per block plus two for
+        the outer norms. Training / CPU / odd shapes use the identical math
+        through the per-block modules.
+        """
+        inner = self.n_heads * self.d_head
+        B, N = h.shape[0], h.shape[1]
+        M = ctx.shape[1]
+        use_stack = (
+            deterministic
+            and self.single_attn
+            and not self.use_checkpoint
+            and inner % 128 == 0
+            and M <= 8
+            and (jax.default_backend() == "tpu" or _pallas_interpret())
+        )
+        if use_stack:
+            from ..ops.fused_core import fused_denoiser_core_call
+            from ..ops.fused_ff import pick_tile
+
+            tile = pick_tile(N)
+            if tile:
+                flats = [
+                    blk(h, ctx, mask, None, deterministic, export_params=True)
+                    for blk in blocks
+                ]
+                cdt = self.dtype or h.dtype
+
+                def stk(key, dt=cdt):
+                    return jnp.stack([f[key] for f in flats]).astype(dt)
+
+                nh, dh = self.n_heads, self.d_head
+                ctx_c = ctx.astype(cdt)
+                depth = len(blocks)
+                wk_s, wv_s = stk("wk"), stk("wv")  # (depth, cdim, inner)
+                k = jnp.einsum("bmc,icd->ibmd", ctx_c, wk_s).reshape(depth, B, M, nh, dh)
+                v = jnp.einsum("bmc,icd->ibmd", ctx_c, wv_s).reshape(depth, B, M, nh, dh)
+                eye = jnp.eye(nh, dtype=cdt)
+                # block-diagonal K/V layout, per block (see
+                # nn/attention.CrossAttention._small_ctx_attention)
+                k_bd = jnp.einsum("ibmhd,gh->ibgdhm", k, eye).reshape(
+                    depth, B, inner, nh * M
+                )
+                v_bd = jnp.einsum("ibmhd,hg->ibhmgd", v, eye).reshape(
+                    depth, B, nh * M, inner
+                )
+                lane_mask = (
+                    jnp.tile(mask.astype(cdt), (1, nh))
+                    if mask is not None
+                    else jnp.ones((B, nh * M), cdt)
+                )
+                gsum = jnp.kron(eye, jnp.ones((M, M), cdt))
+                return fused_denoiser_core_call(
+                    h.astype(cdt), k_bd, v_bd, lane_mask, gsum,
+                    pre_scale.astype(cdt), pre_bias.astype(cdt),
+                    post_scale.astype(cdt), post_bias.astype(cdt),
+                    stk("norm2_scale"), stk("norm2_bias"),
+                    stk("wq"), stk("wout"), stk("bout", jnp.float32),
+                    stk("ffn_ln_scale"), stk("ffn_ln_bias"),
+                    stk("ffn_w1"), stk("ffn_b1", jnp.float32),
+                    stk("ffn_w2"), stk("ffn_b2", jnp.float32),
+                    dh**-0.5, tile=tile,
+                    interpret=jax.default_backend() != "tpu",
+                ).astype(h.dtype)
+
+        h = ln_affine(h, pre_scale, pre_bias)
+        for blk in blocks:
+            h = blk(h, ctx, mask, None, deterministic)
+        return ln_affine(h, post_scale, post_bias)
 
 
 @NETS.register_module()

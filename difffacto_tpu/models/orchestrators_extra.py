@@ -165,3 +165,195 @@ class AnchoredGeneration(nn.Module):
             model_fn, self.make_rng("sample"), ref, t, anchors=anchor_pp,
             ctx=mixed, seg_mask=seg_mask,
         )
+
+
+@MODELS.register_module()
+class AnchorDiffGenPartglot(nn.Module):
+    """Decomposer-based generator over PartGlot super-segments (reference:
+    networks/anchor_gen_supseg_partglot.py:8-211): a super-segment encoder
+    produces part latents, the decomposer regresses per-anchor coordinates +
+    a global code, and an anchored diffusion (fixed variance) models each
+    super-segment's points around its anchor, masked by the segment-validity
+    ``geo_mask``. Conditioning is the global code (one ctx token) plus the
+    per-point part latent concatenated onto the denoiser input.
+
+    Eval paths: reverse decode / forward-chain visualization, latent
+    interpolation along one anchor between two shapes, and per-part combine.
+    (The reference's interpolate/combine eval branches dereference an
+    undefined ``x`` — anchor_gen_supseg_partglot.py:191-196 — so they crash
+    as shipped; here they take the batch dict.)
+    """
+
+    encoder: dict
+    decomposer: dict
+    diffusion: dict
+    sampler: dict
+    num_anchors: int
+    num_timesteps: int
+    npoints: int = 2048
+    anchor_loss_weight: float = 1.0
+    ret_traj: bool = False
+    ret_interval: int = 20
+    forward_sample: bool = False
+    save_pred_xstart: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.encoder_mod = build_from_cfg(
+            dict(self.encoder), ENCODERS, num_anchors=self.num_anchors, dtype=self.dtype
+        )
+        self.decomposer_mod = build_from_cfg(
+            dict(self.decomposer), DECOMPOSERS, num_anchors=self.num_anchors,
+            point_dim=3, dtype=self.dtype,
+        )
+        dcfg = dict(self.diffusion)
+        dcfg["learn_variance"] = False  # forced in the reference constructor
+        self.net = build_from_cfg(dict(dcfg.pop("net")), NETS, dtype=self.dtype)
+        self.diff = build_diffusion(dcfg, self.num_timesteps)
+        self.t_sampler = build_from_cfg(
+            dict(self.sampler), SAMPLERS, num_timesteps=self.num_timesteps
+        )
+
+    @property
+    def points_per_anchor(self):
+        return self.npoints // self.num_anchors
+
+    def _model_fn(self, pointwise_latent, code, train: bool = False):
+        """Denoiser closure: per-point latent is concatenated onto x_t and
+        the global code rides as the single context token."""
+        ctx_tok = code[:, None, :]
+
+        def fn(inp, ts, c, anc, var, seg, vid):
+            h = jnp.concatenate([inp, pointwise_latent.astype(inp.dtype)], axis=-1)
+            return self.net(h, ts, ctx_tok, anc, var, seg, vid, deterministic=not train)
+
+        return fn
+
+    def encode_decompose(self, x, geo_mask, train: bool = False):
+        part_latent = self.encoder_mod(x, geo_mask, train=train)
+        global_feature, anchors, part_latent = self.decomposer_mod(
+            part_latent, train=train
+        )
+        return global_feature, anchors, part_latent
+
+    def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
+        x = batch["input"]          # (B, n_seg, npoint, 3)
+        ref = batch["ref"]          # (B, n_seg, npoint, 3)
+        seg_mask = batch["seg_mask"].astype(jnp.int32)  # (B, n_seg) anchor id
+        geo_mask = batch["geo_mask"].astype(jnp.float32)  # (B, n_seg) valid
+        B, n_seg, npoint = ref.shape[:3]
+        num_active = jnp.maximum(geo_mask.sum(1), 1.0)
+
+        global_feature, anchors, part_latent = self.encode_decompose(
+            x, geo_mask, train=True
+        )
+
+        # per-segment anchor / latent by assignment
+        anchor_seg = jnp.take_along_axis(anchors, seg_mask[..., None], axis=1)
+        latent_seg = jnp.take_along_axis(part_latent, seg_mask[..., None], axis=1)
+        anchor_pp = jnp.broadcast_to(
+            anchor_seg[:, :, None, :], (B, n_seg, npoint, 3)
+        )
+        anchor_sq = ((anchor_pp - ref) ** 2).mean((-1, -2))  # (B, n_seg)
+        anchor_loss = ((anchor_sq * geo_mask).sum(1) / num_active).mean()
+
+        t, _ = self.t_sampler.sample(self.make_rng("sample"), B * n_seg)
+        latent_pp = jnp.broadcast_to(
+            latent_seg[:, :, None, :], (B, n_seg, npoint, latent_seg.shape[-1])
+        ).reshape(B * n_seg, npoint, -1)
+        code = jnp.repeat(global_feature, n_seg, axis=0)
+        model_fn = self._model_fn(latent_pp, code, train=True)
+        losses = self.diff.training_losses(
+            model_fn,
+            self.make_rng("sample"),
+            ref.reshape(B * n_seg, npoint, 3),
+            t,
+            anchors=anchor_pp.reshape(B * n_seg, npoint, 3),
+            reduce=False,
+        )
+        mse = losses["mse_loss"].mean((-1, -2)).reshape(B, n_seg)
+        diffusion_loss = ((mse * geo_mask).sum(1) / num_active).mean()
+        return {
+            "anchor_loss": self.anchor_loss_weight * anchor_loss,
+            "diffusion_loss": diffusion_loss,
+        }
+
+    def _equal_split(self, B):
+        seg = jnp.repeat(
+            jnp.arange(self.num_anchors, dtype=jnp.int32), self.points_per_anchor
+        )
+        return jnp.broadcast_to(seg[None], (B, self.npoints))
+
+    def _decode(self, anchors_pp, code, latent_pp):
+        model_fn = self._model_fn(latent_pp, code, train=False)
+        out = self.diff.p_sample_loop(
+            model_fn,
+            self.make_rng("sample"),
+            anchors_pp,
+            ret_traj=self.ret_traj,
+            ret_interval=self.ret_interval,
+        )
+        return out
+
+    def predict(self, batch) -> Dict[str, jnp.ndarray]:
+        """Eval forward (anchor_gen_supseg_partglot.py:146-211): anchors +
+        latents from the decomposer, equal per-anchor point split, reverse
+        decode (or forward q_sample visualization)."""
+        x = batch["input"]
+        geo_mask = batch["geo_mask"].astype(jnp.float32)
+        B = x.shape[0]
+        global_feature, anchors, part_latent = self.encode_decompose(
+            x, geo_mask, train=False
+        )
+        pp = self.points_per_anchor
+        anchor_pp = jnp.repeat(anchors, pp, axis=1)      # (B, npoints, 3)
+        latent_pp = jnp.repeat(part_latent, pp, axis=1)  # (B, npoints, C)
+        if self.forward_sample:
+            ref = batch["ref"].reshape(B, -1, 3)[:, : self.npoints]
+            traj = self.diff.q_sample_loop(self.make_rng("sample"), ref, anchor_pp)
+            out = {"pred": ref, "traj": traj}
+        else:
+            out = self._decode(anchor_pp, global_feature, latent_pp)
+        out["anchors"] = anchors
+        out["seg_mask"] = self._equal_split(B)
+        return out
+
+    def interpolate_latent(self, batch, id1: int, id2: int, anchor_id: int,
+                           steps: int = 10) -> Dict[str, jnp.ndarray]:
+        """Interpolate ONE anchor's latent between two shapes
+        (anchor_gen_supseg_partglot.py:88-116)."""
+        x = batch["input"]
+        geo_mask = batch["geo_mask"].astype(jnp.float32)
+        lat = self.encoder_mod(
+            x[jnp.array([id1, id2])], geo_mask[jnp.array([id1, id2])], train=False
+        )  # (2, K, C)
+        w = jnp.linspace(0.0, 1.0, steps)[:, None]
+        dx = jnp.zeros((steps, self.num_anchors, 1)).at[:, anchor_id].set(w)
+        latents = lat[0][None] + (lat[1] - lat[0])[None] * dx  # (steps, K, C)
+        global_feature, anchors, mixed = self.decomposer_mod(latents, train=False)
+        pp = self.points_per_anchor
+        anchor_pp = jnp.repeat(anchors, pp, axis=1)
+        latent_pp = jnp.repeat(mixed, pp, axis=1)
+        out = self._decode(anchor_pp, global_feature, latent_pp)
+        out["anchors"] = anchors
+        out["seg_mask"] = self._equal_split(steps)
+        return out
+
+    def combine_latent(self, batch, ids) -> Dict[str, jnp.ndarray]:
+        """Part i's latent from shape ids[i]
+        (anchor_gen_supseg_partglot.py:119-144)."""
+        x = batch["input"]
+        geo_mask = batch["geo_mask"].astype(jnp.float32)
+        idx = jnp.asarray(ids, jnp.int32)
+        lat = self.encoder_mod(x[idx], geo_mask[idx], train=False)  # (K, K, C)
+        latents = jnp.stack(
+            [lat[i, i] for i in range(self.num_anchors)], axis=0
+        )[None]  # (1, K, C)
+        global_feature, anchors, mixed = self.decomposer_mod(latents, train=False)
+        pp = self.points_per_anchor
+        anchor_pp = jnp.repeat(anchors, pp, axis=1)
+        latent_pp = jnp.repeat(mixed, pp, axis=1)
+        out = self._decode(anchor_pp, global_feature, latent_pp)
+        out["anchors"] = anchors
+        out["seg_mask"] = self._equal_split(1)
+        return out

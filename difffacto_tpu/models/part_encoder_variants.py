@@ -169,3 +169,68 @@ class PartEncoderCIMLE(PartEncoder):
 
     def __call__(self, batch, noise=None, epoch=-1, train: bool = False):
         return super().__call__(batch, noise=noise, epoch=epoch, train=train)
+
+
+@ENCODERS.register_module()
+class PartEncoderNoMixer(PartEncoder):
+    """Alias of the plain PartEncoder (part_encoders.py:2127-2142): the
+    reference variant drops the (never-assigned) decomposer/mixer and returns
+    the part codes untouched — which is exactly what our base class does."""
+
+    pass
+
+
+@ENCODERS.register_module()
+class PartEncoderForPartnetAndTransformerDecoder(PartEncoderForPartnet):
+    """PartNet batch layout + transformer-decoder ctx tokens
+    (part_encoders.py:1559-1572)."""
+
+    def prepare_ctx(self, part_code, mean, logvar, seg_mask=None):
+        ctx = [part_code] if self.include_part_code else []
+        if self.include_params:
+            ctx.append(
+                jnp.concatenate([mean, jnp.exp(logvar + self.log_scale_var)], axis=-1)
+            )
+        return jnp.concatenate(ctx, axis=-1)
+
+
+@ENCODERS.register_module()
+class PartEncoderForTransformerDecoderCIMLE(PartEncoderCIMLE):
+    """CIMLE noise + transformer-decoder ctx (part_encoders.py:1654-1731).
+
+    NOTE: the reference class dereferences ``self.mixer``, an attribute no
+    __init__ in the file ever assigns (part_encoders.py:1668) — it crashes as
+    shipped. Here the mixer step is the identity, which matches the only
+    self-consistent reading (codes pass through, params from the aligner)."""
+
+    def prepare_ctx(self, part_code, mean, logvar, seg_mask=None):
+        ctx = [part_code] if self.include_part_code else []
+        if self.include_params:
+            ctx.append(
+                jnp.concatenate([mean, jnp.exp(logvar + self.log_scale_var)], axis=-1)
+            )
+        return jnp.concatenate(ctx, axis=-1)
+
+
+@ENCODERS.register_module()
+class PartEncoderForTransformerDecoderKLLoss(PartEncoderWithKLLoss):
+    """KL prior + TD ctx with the include_std switch
+    (part_encoders.py:1909-1928): ctx params are [mean, exp(logvar)] or
+    [mean, std] — no log_scale_var offset in this variant."""
+
+    include_std: bool = False
+
+    def prepare_ctx(self, part_code, mean, logvar, seg_mask=None):
+        ctx = [part_code] if self.include_part_code else []
+        if self.include_params:
+            var = jnp.exp(0.5 * logvar) if self.include_std else jnp.exp(logvar)
+            ctx.append(jnp.concatenate([mean, var], axis=-1))
+        return jnp.concatenate(ctx, axis=-1)
+
+
+@ENCODERS.register_module()
+class PartEncoderForTransformerDecoderKLLossCIMLE(PartEncoderForTransformerDecoderKLLoss):
+    """KLLoss TD variant with CIMLE noise search (part_encoders.py:1932-2004);
+    sample_noise/best-of-N selection comes from the base PartEncoder."""
+
+    pass

@@ -91,12 +91,17 @@ class CrossAttention(nn.Module):
         v_bd = jnp.einsum("bmhd,hg->bhmgd", vh, eye).reshape(B, G, inner)
 
         s = jnp.einsum("bnc,bcg->bng", q, k_bd) * scale  # (B, N, G)
+        if mask is not None:
+            # Sink masked lanes BEFORE the max-shift so an absent part token
+            # with a large score cannot drag the shift and flush the valid
+            # lanes' exp() to zero.
+            lane_mask = jnp.tile(mask.astype(s.dtype), (1, h))  # (B, G)
+            s = s + (lane_mask[:, None, :] - 1.0) * jnp.asarray(1e30, s.dtype)
         # Grouped softmax over each head's M lanes: a per-(b, n) constant
         # shift is valid for every group simultaneously.
         c = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
         e = jnp.exp(s - c)
         if mask is not None:
-            lane_mask = jnp.tile(mask.astype(e.dtype), (1, h))  # (B, G)
             e = e * lane_mask[:, None, :]
         group_sum = jnp.kron(jnp.eye(h, dtype=e.dtype), jnp.ones((M, M), e.dtype))
         denom = jnp.einsum("bng,gk->bnk", e, group_sum)
@@ -126,7 +131,15 @@ class BasicTransformerBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None, y=None, deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        context=None,
+        mask=None,
+        y=None,
+        deterministic: bool = True,
+        export_params: bool = False,
+    ):
         inner = self.n_heads * self.d_head
         if (
             self.single_attn
@@ -134,7 +147,8 @@ class BasicTransformerBlock(nn.Module):
             and not self.adaln
             and inner == self.dim
         ):
-            return self._fused_layout(x, context, mask, deterministic)
+            return self._fused_layout(x, context, mask, deterministic, export_params)
+        assert not export_params, "export_params requires the fused flat layout"
         if not self.single_attn:
             x = (
                 CrossAttention(
@@ -181,7 +195,7 @@ class BasicTransformerBlock(nn.Module):
         return x
 
     # ------------------------------------------------------- fused layout
-    def _fused_layout(self, x, context, mask, deterministic):
+    def _fused_layout(self, x, context, mask, deterministic, export_params=False):
         """Single-attn + GEGLU block with FLAT parameters so the TPU sampling
         path can run the whole block as ONE Pallas kernel
         (ops/fused_block.py). Training/CPU compute the identical math in XLA
@@ -204,6 +218,19 @@ class BasicTransformerBlock(nn.Module):
         ffn_b1 = self.param("ffn_b1", nn.initializers.zeros, (2 * inner_ff,), jnp.float32)
         ffn_w2 = self.param("ffn_w2", ki, (inner_ff, D), jnp.float32)
         ffn_b2 = self.param("ffn_b2", nn.initializers.zeros, (D,), jnp.float32)
+
+        if export_params:
+            # Hand the flat params to the caller (TransformerNet) so it can
+            # stack all blocks into ONE whole-trunk kernel launch
+            # (ops/fused_core.py). Declaration above keeps the param tree
+            # identical to the computing paths.
+            return {
+                "norm2_scale": norm2_scale, "norm2_bias": norm2_bias,
+                "wq": wq, "wk": wk, "wv": wv, "wout": wout, "bout": bout,
+                "ffn_ln_scale": ffn_ln_scale, "ffn_ln_bias": ffn_ln_bias,
+                "ffn_w1": ffn_w1, "ffn_b1": ffn_b1,
+                "ffn_w2": ffn_w2, "ffn_b2": ffn_b2,
+            }
 
         cdt = self.dtype or x.dtype
         scale = dh**-0.5

@@ -163,6 +163,36 @@ class FusedLNFF(nn.Module):
         return x + out.astype(x.dtype)
 
 
+class LNParams(nn.Module):
+    """LayerNorm parameters without the compute.
+
+    Produces the SAME param tree as ``nn.LayerNorm`` (``scale``/``bias``)
+    so checkpoints stay interchangeable, but returns the raw params: callers
+    that fuse the normalization into a Pallas kernel (ops/fused_core.py)
+    apply it there, and the unfused paths use :func:`ln_affine`.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+def ln_affine(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm with explicit affine params; f32 statistics, eps 1e-5
+    (torch parity), output in x.dtype."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(
+        jnp.float32
+    )
+    return out.astype(x.dtype)
+
+
 class MLP(nn.Module):
     """Plain ReLU MLP over the last axis (attention.py:60-75)."""
 

@@ -50,8 +50,10 @@ def _block_kernel(
     h = ln(x, n2s_ref[:], n2b_ref[:])
     q = jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
     s = jnp.dot(q, kbd_ref[0], preferred_element_type=jnp.float32) * scale_ref[0, 0]
+    m = mask_ref[0].astype(jnp.float32)
+    s = s + (m - 1.0) * 1e30  # sink masked lanes before the max-shift
     c = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - c) * mask_ref[0].astype(jnp.float32)
+    e = jnp.exp(s - c) * m
     denom = jnp.dot(e, gsum_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
     w = (e / jnp.maximum(denom, 1e-30)).astype(x.dtype)
     attn = jnp.dot(w, vbd_ref[0], preferred_element_type=jnp.float32).astype(x.dtype)

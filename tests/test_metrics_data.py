@@ -1,6 +1,7 @@
 """Metric-suite and dataset tests on small synthetic data."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from difffacto_tpu.data import (
@@ -137,3 +138,62 @@ class TestDataset:
         masks = np.repeat(np.arange(4), 32)[None].repeat(2, 0)
         m = compute_snapping_metric(preds, masks, cls="Chair")
         assert all(np.isfinite(v) for v in m.values())
+
+
+class TestSeparatePointCloud:
+    def test_partition(self):
+        import jax
+        from difffacto_tpu.data import separate_point_cloud
+
+        rng = np.random.RandomState(7)
+        xyz = jnp.asarray(rng.randn(3, 64, 3), jnp.float32)
+        inp, crop = separate_point_cloud(xyz, 64, 16, rng=jax.random.PRNGKey(1))
+        assert inp.shape == (3, 48, 3) and crop.shape == (3, 16, 3)
+        # the two halves partition the original point set exactly
+        for b in range(3):
+            got = np.concatenate([np.asarray(inp[b]), np.asarray(crop[b])])
+            want = np.asarray(xyz[b])
+            got = got[np.lexsort(got.T)]
+            want = want[np.lexsort(want.T)]
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_crop_is_a_neighborhood(self):
+        """Every cropped point is nearer the chosen direction than every
+        kept point (the reference crops the nearest num_crop points)."""
+        import jax
+        from difffacto_tpu.data import separate_point_cloud
+
+        rng = np.random.RandomState(8)
+        xyz = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        center = np.array([1.0, 0.0, 0.0], np.float32)
+        inp, crop = separate_point_cloud(
+            xyz, 64, 16, fixed_points=center, rng=jax.random.PRNGKey(2)
+        )
+        for b in range(2):
+            d_crop = np.linalg.norm(np.asarray(crop[b]) - center, axis=-1)
+            d_keep = np.linalg.norm(np.asarray(inp[b]) - center, axis=-1)
+            assert d_crop.max() <= d_keep.min() + 1e-5
+
+    def test_padding_zeros(self):
+        import jax
+        from difffacto_tpu.data import separate_point_cloud
+
+        rng = np.random.RandomState(9)
+        xyz = jnp.asarray(rng.randn(2, 64, 3) + 5.0, jnp.float32)
+        inp, crop = separate_point_cloud(
+            xyz, 64, 16, padding_zeros=True, rng=jax.random.PRNGKey(3)
+        )
+        assert inp.shape == (2, 64, 3)
+        zeroed = (np.asarray(inp) == 0).all(-1).sum(-1)
+        np.testing.assert_array_equal(zeroed, [16, 16])
+
+    def test_cropping_loader(self):
+        import jax
+        from difffacto_tpu.data import CroppingDataLoader, DataLoader
+        from difffacto_tpu.data.synthetic import SyntheticPartDataset
+
+        ds = SyntheticPartDataset(size=4, npoints=64)
+        loader = CroppingDataLoader(DataLoader(ds, batch_size=2), crop=16)
+        batch = next(iter(loader))
+        assert batch["partial"].shape == (2, 48, 3)
+        assert batch["missing"].shape == (2, 16, 3)

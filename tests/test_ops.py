@@ -238,3 +238,71 @@ class TestEMD:
         y = jnp.array(rng.rand(3, 32, 3), jnp.float32)
         c = emd_cost(x, y, 0.01, 1000)
         assert c.shape == (3,) and np.isfinite(np.asarray(c)).all()
+
+
+class TestFusedDenoiserCore:
+    """The whole-trunk Pallas kernel (ops/fused_core.py) must compute the
+    exact same trunk as the per-block module path. Runs the REAL kernel
+    program in Pallas interpret mode on CPU via DIFFFACTO_PALLAS_INTERPRET."""
+
+    def _make(self):
+        from difffacto_tpu.models.denoiser import TransformerNet
+
+        net = TransformerNet(
+            in_channels=3,
+            out_channels=3,
+            n_heads=8,
+            d_head=16,  # inner = 128: kernel-eligible
+            depth=2,
+            dropout=0.0,
+            context_dim=22,
+            n_class=4,
+            class_cond=True,
+            cat_params_to_x=True,
+            single_attn=True,
+            cat_class_to_x=True,
+        )
+        rng = np.random.RandomState(21)
+        B, N = 2, 128
+        x = jnp.array(rng.randn(B, N, 3), jnp.float32)
+        t = jnp.array([1.0, 3.0], jnp.float32)
+        ctx = jnp.array(rng.randn(B, 4, 22), jnp.float32)
+        anchors = jnp.array(rng.randn(B, N, 3) * 0.1, jnp.float32)
+        variances = jnp.array(np.abs(rng.randn(B, N, 3)) * 0.5 + 0.1, jnp.float32)
+        seg = jnp.array(np.repeat(np.arange(4), N // 4)[None].repeat(B, 0), jnp.int32)
+        valid = jnp.array([[1, 1, 1, 1], [1, 0, 1, 1]], jnp.float32)
+        args = (x, t, ctx, anchors, variances, seg, valid)
+        variables = net.init(jax.random.PRNGKey(0), *args)
+        return net, variables, args
+
+    def test_kernel_matches_module_path(self, monkeypatch):
+        net, variables, args = self._make()
+        y_ref = net.apply(variables, *args)
+        monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+        y_kernel = net.apply(variables, *args)
+        np.testing.assert_allclose(
+            np.asarray(y_kernel), np.asarray(y_ref), rtol=2e-4, atol=2e-4
+        )
+        # and the kernel path actually differs from a no-op: perturb a block
+        # param and the output must change
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(variables["params"])
+        key = next(k for k in flat if "block_1" in k and k[-1] == "bout")
+        bump = np.zeros(flat[key].shape, np.float32)
+        bump[..., 0] = 1.0
+        flat[key] = flat[key] + bump
+        var2 = {"params": flax.traverse_util.unflatten_dict(flat)}
+        y2 = net.apply(var2, *args)
+        assert np.abs(np.asarray(y2) - np.asarray(y_ref)).max() > 1e-5
+
+    def test_masked_part_invariance(self, monkeypatch):
+        """Absent part tokens must not influence the output (valid_id mask)."""
+        monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+        net, variables, args = self._make()
+        x, t, ctx, anchors, variances, seg, valid = args
+        ctx2 = ctx.at[:, 1].set(ctx[:, 1] + 100.0)
+        valid0 = jnp.zeros_like(valid).at[:, 0].set(1).at[:, 2].set(1).at[:, 3].set(1)
+        y1 = net.apply(variables, x, t, ctx, anchors, variances, seg, valid0)
+        y2 = net.apply(variables, x, t, ctx2, anchors, variances, seg, valid0)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)

@@ -218,3 +218,141 @@ class TestExtraOrchestrators:
             mutable=["batch_stats"],
         )
         assert np.isfinite(np.asarray(losses["mse_loss"]))
+
+
+class TestSupsegEncoders:
+    def test_supsegs_encoder(self):
+        from difffacto_tpu.models import SupSegsEncoder
+
+        m = SupSegsEncoder(sup_segs_dim=8, part_latent_dim=16, num_anchors=4)
+        x = randn(2, 6, 32, 3)
+        mask = jnp.ones((2, 6))
+        vs = jax.jit(lambda: m.init(RNGS, x, mask, True))()
+        out = m.apply(vs, x, mask, True, mutable=["batch_stats"])[0]
+        assert out.shape == (2, 4, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_supsegs_mask_invariance(self):
+        """Masked-out segments must not change the part latents (eval mode)."""
+        from difffacto_tpu.models import SupSegsEncoder
+
+        m = SupSegsEncoder(sup_segs_dim=8, part_latent_dim=16, num_anchors=4)
+        x = randn(2, 6, 32, 3)
+        mask = jnp.ones((2, 6)).at[:, 5].set(0.0)
+        vs = jax.jit(lambda: m.init(RNGS, x, mask, True))()
+        x2 = x.at[:, 5].add(37.0)
+        o1 = m.apply(vs, x, mask, False)
+        o2 = m.apply(vs, x2, mask, False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    def test_cbn_encoder(self):
+        from difffacto_tpu.models import PartglotSupSegsEncoderWithCBN
+
+        m = PartglotSupSegsEncoderWithCBN(sup_segs_dim=8, embed_t_size=16, emb_size=16)
+        x = randn(2, 32, 3)
+        t = jnp.array([1.0, 5.0])
+        vs = jax.jit(lambda: m.init(RNGS, x, t))()
+        out = m.apply(vs, x, t)
+        assert out.shape == (2, 32, 8)
+
+    def test_mean_variance_regressor(self):
+        from difffacto_tpu.models import MeanVarianceRegressor
+
+        m = MeanVarianceRegressor(latent_dim=16, num_class=4)
+        x = randn(2, 4, 16)
+        vs = jax.jit(lambda: m.init(RNGS, x, True))()
+        mean, logvar = m.apply(vs, x, True, mutable=["batch_stats"])[0]
+        assert mean.shape == (2, 4, 16) and logvar.shape == (2, 4, 16)
+
+    def test_pnet2stage_and_pcn_encoder(self):
+        from difffacto_tpu.models import PCNPartEncoder, Pnet2Stage
+        from difffacto_tpu.utils.registry import ENCODERS
+
+        assert "Pnet2Stage" in ENCODERS and "PCN" in ENCODERS
+        g = Pnet2Stage(latent_dim=32)
+        x = randn(2, 64, 3)
+        vs = jax.jit(lambda: g.init(RNGS, x, True))()
+        out = g.apply(vs, x, True, mutable=["batch_stats"])[0]
+        assert out.shape == (2, 32)
+        p = PCNPartEncoder(part_latent_dim=8, num_anchors=4, normalize_latent=True)
+        vs = jax.jit(lambda: p.init(RNGS, x, True))()
+        out = p.apply(vs, x, True, mutable=["batch_stats"])[0]
+        assert out.shape == (2, 4, 8)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=-1), 1.0, rtol=1e-4
+        )
+
+
+class TestAnchorDiffGenPartglot:
+    def _model(self):
+        from difffacto_tpu.models import AnchorDiffGenPartglot
+
+        return AnchorDiffGenPartglot(
+            encoder=dict(type="SupSegsEncoder", sup_segs_dim=8, part_latent_dim=16),
+            decomposer=dict(
+                type="ComponentMixer", part_latent_dim=16,
+                include_attention=True, include_global_feature=True,
+            ),
+            diffusion=dict(
+                type="AnchoredDiffusion",
+                net=dict(type="PointwiseNet", point_dim=3, residual=False,
+                         hidden=(16, 32, 16)),
+                beta_1=1e-4, beta_T=0.02, k=1.0, mode="linear",
+                model_mean_type="epsilon", learn_variance=False,
+                include_anchors=False, res=False,
+            ),
+            sampler=dict(type="Uniform"),
+            num_anchors=4,
+            num_timesteps=5,
+            npoints=32,
+        )
+
+    def _batch(self, B=2, n_seg=6, npoint=16):
+        rng = np.random.RandomState(3)
+        return {
+            "input": jnp.asarray(rng.randn(B, n_seg, npoint, 3), jnp.float32),
+            "ref": jnp.asarray(rng.randn(B, n_seg, npoint, 3), jnp.float32),
+            "seg_mask": jnp.asarray(rng.randint(0, 4, (B, n_seg)), jnp.int32),
+            "geo_mask": jnp.ones((B, n_seg), jnp.float32).at[:, 5].set(0.0),
+        }
+
+    def test_loss(self):
+        from difffacto_tpu.models.orchestrators_extra import AnchorDiffGenPartglot
+
+        model = self._model()
+        batch = self._batch()
+        vs = jax.jit(
+            lambda r, b: model.init(r, b, 0, method=AnchorDiffGenPartglot.loss)
+        )(RNGS, batch)
+        losses, _ = model.apply(
+            vs, batch, 0, method=AnchorDiffGenPartglot.loss,
+            rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        assert np.isfinite(float(losses["anchor_loss"]))
+        assert np.isfinite(float(losses["diffusion_loss"]))
+
+    def test_predict_and_editing(self):
+        from difffacto_tpu.models.orchestrators_extra import AnchorDiffGenPartglot
+
+        model = self._model()
+        batch = self._batch(B=4)
+        vs = jax.jit(
+            lambda r, b: model.init(r, b, 0, method=AnchorDiffGenPartglot.loss)
+        )(RNGS, batch)
+        rngs = {"sample": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(6)}
+        out, _ = model.apply(
+            vs, batch, method=AnchorDiffGenPartglot.predict, rngs=rngs,
+            mutable=["batch_stats"],
+        )
+        assert out["pred"].shape == (4, 32, 3)
+        interp, _ = model.apply(
+            vs, batch, 0, 1, 2, 5, method=AnchorDiffGenPartglot.interpolate_latent,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        assert interp["pred"].shape == (5, 32, 3)
+        comb, _ = model.apply(
+            vs, batch, [0, 1, 2, 3], method=AnchorDiffGenPartglot.combine_latent,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        assert comb["pred"].shape == (1, 32, 3)

@@ -21,6 +21,14 @@ def parse_args():
         default="train",
         choices=["train", "val", "val_gen", "interpolation", "mixing"],
     )
+    p.add_argument(
+        "--runner",
+        default="auto",
+        choices=["auto", "default", "pretrain", "gan", "language"],
+        help="runner family; replaces the reference's separate "
+        "run_pretrain/run_cgan/run_language entry scripts (broken as "
+        "shipped, stale anchor_diff imports). 'auto' reads cfg.runner.",
+    )
     p.add_argument("--prefix", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--deterministic", action="store_true")
@@ -42,14 +50,28 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from difffacto_tpu.config import get_cfg, init_cfg
-    from difffacto_tpu.runner import Runner
+    from difffacto_tpu.runner import (
+        GanRunner,
+        LanguageRunner,
+        PretrainRunner,
+        Runner,
+    )
 
     init_cfg(args.config_file)
     cfg = get_cfg()
     if args.prefix:
         cfg.work_dir = os.path.join("work_dirs", cfg.name + "_" + args.prefix)
 
-    runner = Runner(args=args, cfg=cfg)
+    kind = args.runner
+    if kind == "auto":
+        kind = cfg.get("runner", "default")
+    runner_cls = {
+        "default": Runner,
+        "pretrain": PretrainRunner,
+        "gan": GanRunner,
+        "language": LanguageRunner,
+    }[kind]
+    runner = runner_cls(args=args, cfg=cfg)
     if args.task == "train":
         runner.run()
     elif args.task == "val":
