@@ -22,7 +22,13 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.attention import BasicTransformerBlock
-from ..nn.layers import FeedForward, LNParams, ln_affine, timestep_embedding
+from ..nn.layers import (
+    DenseParams,
+    FeedForward,
+    LNParams,
+    ln_affine,
+    timestep_embedding,
+)
 from ..utils.registry import NETS
 
 def _pallas_interpret() -> bool:
@@ -106,11 +112,15 @@ class TransformerNet(nn.Module):
         in_ch = x.shape[-1]
 
         x_in = x
-        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
-        if self.add_t_to_x:
-            h = h + t_embed[:, None]
-        # pre/post norms own bare params (same tree as nn.LayerNorm) so the
-        # whole-trunk kernel can fuse them; unfused paths use ln_affine.
+        # proj_in/proj_out and the pre/post norms own bare params (same trees
+        # as nn.Dense / nn.LayerNorm) so the whole-network kernel can fuse
+        # them; unfused paths apply the same math inline.
+        pin_k, pin_b = DenseParams(in_ch, inner, name="proj_in")()
+        zero_out = in_ch == self.out_channels or self.res
+        kinit = nn.initializers.zeros if zero_out else nn.initializers.lecun_normal()
+        pout_k, pout_b = DenseParams(
+            inner, self.out_channels, kernel_init=kinit, name="proj_out"
+        )()
         pre_scale, pre_bias = LNParams(inner, name="pre_norm")()
         post_scale, post_bias = LNParams(inner, name="post_norm")()
 
@@ -132,41 +142,37 @@ class TransformerNet(nn.Module):
             for i in range(self.depth)
         ]
 
-        h = self._trunk(
-            h, ctx, mask, blocks, pre_scale, pre_bias, post_scale, post_bias,
+        out = self._network(
+            x, ctx, mask, blocks,
+            (pin_k, pin_b), (pout_k, pout_b),
+            pre_scale, pre_bias, post_scale, post_bias,
+            t_embed if self.add_t_to_x else None,
             deterministic,
         )
-
-        zero_out = in_ch == self.out_channels or self.res
-        kinit = nn.initializers.zeros if zero_out else nn.initializers.lecun_normal()
-        out = nn.Dense(
-            self.out_channels,
-            kernel_init=kinit,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="proj_out",
-        )(h)
         if x_in.shape[-1] == out.shape[-1]:
             return out + x_in
         if self.res:
             return out + x_in[..., : out.shape[-1]]
         return out
 
-    def _trunk(
-        self, h, ctx, mask, blocks, pre_scale, pre_bias, post_scale, post_bias,
-        deterministic,
+    def _network(
+        self, x, ctx, mask, blocks, pin, pout,
+        pre_scale, pre_bias, post_scale, post_bias, t_embed, deterministic,
     ):
-        """pre-LN -> depth blocks -> post-LN.
+        """proj_in -> pre-LN -> depth blocks -> post-LN -> proj_out.
 
-        On the TPU sampling path the whole trunk runs as ONE Pallas launch
+        On the TPU sampling path the whole network runs as ONE Pallas launch
         (ops/fused_core.py) with every block's flat params stacked along a
-        leading depth axis: the (B, N, inner) activations make a single HBM
-        round trip per diffusion step instead of one per block plus two for
-        the outer norms. Training / CPU / odd shapes use the identical math
-        through the per-block modules.
+        leading depth axis: per diffusion step the only HBM traffic is the
+        13-channel input read and the 3/6-channel output write — the
+        (B, N, inner) hidden states never leave VMEM. Training / CPU / odd
+        shapes use the identical math through the per-block modules.
         """
         inner = self.n_heads * self.d_head
-        B, N = h.shape[0], h.shape[1]
+        pin_k, pin_b = pin
+        pout_k, pout_b = pout
+        cdt = self.dtype or x.dtype
+        B, N = x.shape[0], x.shape[1]
         M = ctx.shape[1]
         use_stack = (
             deterministic
@@ -176,17 +182,19 @@ class TransformerNet(nn.Module):
             and M <= 8
             and (jax.default_backend() == "tpu" or _pallas_interpret())
         )
-        if use_stack:
+        # proj_in/proj_out fold into the kernel only without the t-embedding
+        # bias on x (add_t_to_x); that config falls back to the XLA path.
+        fuse_io = t_embed is None
+        if use_stack and fuse_io:
             from ..ops.fused_core import fused_denoiser_core_call
             from ..ops.fused_ff import pick_tile
 
             tile = pick_tile(N)
             if tile:
                 flats = [
-                    blk(h, ctx, mask, None, deterministic, export_params=True)
+                    blk(x, ctx, mask, None, deterministic, export_params=True)
                     for blk in blocks
                 ]
-                cdt = self.dtype or h.dtype
 
                 def stk(key, dt=cdt):
                     return jnp.stack([f[key] for f in flats]).astype(dt)
@@ -212,8 +220,13 @@ class TransformerNet(nn.Module):
                     else jnp.ones((B, nh * M), cdt)
                 )
                 gsum = jnp.kron(eye, jnp.ones((M, M), cdt))
-                return fused_denoiser_core_call(
-                    h.astype(cdt), k_bd, v_bd, lane_mask, gsum,
+                # proj_in/proj_out stay in XLA: fusing them INTO the kernel
+                # (pin_w/pout_w) was measured and regresses e2e 180 -> 143
+                # shapes/s — the 13-lane input / 6-lane output blocks force
+                # degenerate layouts.
+                h0 = (x.astype(cdt) @ pin_k.astype(cdt) + pin_b.astype(cdt))
+                hk = fused_denoiser_core_call(
+                    h0, k_bd, v_bd, lane_mask, gsum,
                     pre_scale.astype(cdt), pre_bias.astype(cdt),
                     post_scale.astype(cdt), post_bias.astype(cdt),
                     stk("norm2_scale"), stk("norm2_bias"),
@@ -223,12 +236,18 @@ class TransformerNet(nn.Module):
                     stk("ffn_w2"), stk("ffn_b2", jnp.float32),
                     dh**-0.5, tile=tile,
                     interpret=jax.default_backend() != "tpu",
-                ).astype(h.dtype)
+                )
+                return (hk @ pout_k.astype(cdt) + pout_b.astype(cdt)).astype(x.dtype)
 
+        # ---- unfused composition, identical math and parameters
+        h = (x.astype(cdt) @ pin_k.astype(cdt) + pin_b.astype(cdt))
+        if t_embed is not None:
+            h = h + t_embed[:, None]
         h = ln_affine(h, pre_scale, pre_bias)
         for blk in blocks:
             h = blk(h, ctx, mask, None, deterministic)
-        return ln_affine(h, post_scale, post_bias)
+        h = ln_affine(h, post_scale, post_bias)
+        return (h.astype(cdt) @ pout_k.astype(cdt) + pout_b.astype(cdt)).astype(x.dtype)
 
 
 @NETS.register_module()

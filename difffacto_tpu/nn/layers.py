@@ -181,6 +181,25 @@ class LNParams(nn.Module):
         return scale, bias
 
 
+class DenseParams(nn.Module):
+    """Dense parameters without the compute — same param tree as ``nn.Dense``
+    (``kernel``/``bias``) so checkpoints stay interchangeable; callers that
+    fuse the projection into a Pallas kernel apply it there, unfused paths
+    do ``x @ kernel + bias`` themselves."""
+
+    in_dim: int
+    out_dim: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.in_dim, self.out_dim), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+        return kernel, bias
+
+
 def ln_affine(x, scale, bias, eps: float = 1e-5):
     """LayerNorm with explicit affine params; f32 statistics, eps 1e-5
     (torch parity), output in x.dtype."""

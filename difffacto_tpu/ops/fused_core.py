@@ -1,12 +1,12 @@
-"""Pallas TPU kernel: the ENTIRE denoiser trunk in one launch per token tile.
+"""Pallas TPU kernel: the ENTIRE denoiser in one launch per token tile.
 
 Extends ops/fused_block.py (one transformer block per launch) to the whole
-stack: pre-LN -> depth x [LN2 -> q-proj -> small-ctx attention -> out-proj ->
-residual -> LN -> GEGLU FF -> residual] -> post-LN, with every block's
-parameters stacked on a leading ``depth`` axis and resident in VMEM. The
-per-token activations make exactly ONE HBM round trip for the whole trunk
-instead of one per block plus two for the outer LayerNorms, and the T-step
-reverse-diffusion scan issues a single kernel launch per step.
+network: [optional proj_in] -> pre-LN -> depth x [LN2 -> q-proj -> small-ctx
+attention -> out-proj -> residual -> LN -> GEGLU FF -> residual] -> post-LN
+-> [optional proj_out], with every block's parameters stacked on a leading
+``depth`` axis and resident in VMEM. With head+tail fused the per-step HBM
+traffic is ONE read of the 13-channel denoiser input and ONE write of the
+3/6-channel output — the (tokens, 128) hidden states never touch HBM.
 
 Per-block math is byte-identical to ops/fused_block.py (which remains in use
 for standalone blocks, e.g. the part aligner). K/V over the tiny context
@@ -32,23 +32,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _core_kernel(
     depth: int,
-    x_ref,        # (1, T, D)
-    kbd_ref,      # (depth, 1, D, G)
-    vbd_ref,      # (depth, 1, G, D)
-    mask_ref,     # (1, 1, G)
-    pres_ref, preb_ref,        # pre-LN scale/bias (D,)
-    posts_ref, postb_ref,      # post-LN scale/bias (D,)
-    n2s_ref, n2b_ref,          # (depth, D) attention-LN scale/bias
-    wq_ref,                    # (depth, D, D)
-    wout_ref, bout_ref,        # (depth, D, D), (depth, D)
-    ffs_ref, ffb_ref,          # (depth, D) FF-LN scale/bias
-    w1_ref, b1_ref,            # (depth, D, 2*inner), (depth, 2*inner)
-    w2_ref, b2_ref,            # (depth, inner, D), (depth, D)
-    gsum_ref,                  # (G, G) grouped-softmax sum matrix
-    scale_ref,                 # (1, 1) attention scale in SMEM
-    o_ref,        # (1, T, D)
+    has_head: bool,
+    has_tail: bool,
+    *refs,
 ):
-    x = x_ref[0]  # (T, D)
+    it = iter(refs)
+    x_ref = next(it)            # (1, T, IN) raw input or (1, T, D) hidden
+    if has_head:
+        pin_w_ref = next(it)    # (IN, D)
+        pin_b_ref = next(it)    # (D,)
+    kbd_ref = next(it)          # (depth, 1, D, G)
+    vbd_ref = next(it)          # (depth, 1, G, D)
+    mask_ref = next(it)         # (1, 1, G)
+    pres_ref, preb_ref = next(it), next(it)      # pre-LN scale/bias (D,)
+    posts_ref, postb_ref = next(it), next(it)    # post-LN scale/bias (D,)
+    n2s_ref, n2b_ref = next(it), next(it)        # (depth, D)
+    wq_ref = next(it)                            # (depth, D, D)
+    wout_ref, bout_ref = next(it), next(it)      # (depth, D, D), (depth, D)
+    ffs_ref, ffb_ref = next(it), next(it)        # (depth, D)
+    w1_ref, b1_ref = next(it), next(it)          # (depth, D, 2i), (depth, 2i)
+    w2_ref, b2_ref = next(it), next(it)          # (depth, i, D), (depth, D)
+    if has_tail:
+        pout_w_ref = next(it)   # (D, OUT)
+        pout_b_ref = next(it)   # (OUT,)
+    gsum_ref = next(it)         # (G, G)
+    scale_ref = next(it)        # (1, 1) SMEM
+    o_ref = next(it)            # output
+
+    x = x_ref[0]
 
     def ln(v, s, b):
         vf = v.astype(jnp.float32)
@@ -56,6 +67,12 @@ def _core_kernel(
         var = jnp.mean((vf - mu) ** 2, axis=-1, keepdims=True)
         return ((vf - mu) * jax.lax.rsqrt(var + 1e-5) * s.astype(jnp.float32)[None]
                 + b.astype(jnp.float32)[None]).astype(v.dtype)
+
+    if has_head:
+        x = (
+            jnp.dot(x, pin_w_ref[:], preferred_element_type=jnp.float32)
+            + pin_b_ref[:].astype(jnp.float32)
+        ).astype(x.dtype)
 
     x = ln(x, pres_ref[:], preb_ref[:])
 
@@ -89,7 +106,13 @@ def _core_kernel(
         ].astype(jnp.float32)
         x = x + out.astype(x.dtype)
 
-    o_ref[0] = ln(x, posts_ref[:], postb_ref[:])
+    x = ln(x, posts_ref[:], postb_ref[:])
+    if has_tail:
+        x = (
+            jnp.dot(x, pout_w_ref[:], preferred_element_type=jnp.float32)
+            + pout_b_ref[:].astype(jnp.float32)
+        ).astype(x.dtype)
+    o_ref[0] = x
 
 
 def fused_denoiser_core_call(
@@ -98,15 +121,20 @@ def fused_denoiser_core_call(
     n2_scale, n2_bias, wq, wout, bout,
     ff_scale, ff_bias, w1, b1, w2, b2,
     scale: float, tile: int = 1024, interpret: bool = False,
+    pin_w=None, pin_b=None, pout_w=None, pout_b=None,
 ):
-    """Launch the whole-trunk kernel.
+    """Launch the whole-network kernel.
 
-    x (B, N, D); k_bd (depth, B, D, G); v_bd (depth, B, G, D);
-    lane_mask (B, G); gsum (G, G) = kron(I_heads, ones(M, M));
-    pre/post_* (D,); every per-block param stacked to a leading depth axis.
+    x (B, N, D) hidden — or (B, N, IN) raw denoiser input when ``pin_w`` is
+    given (proj_in fused). k_bd (depth, B, D, G); v_bd (depth, B, G, D);
+    lane_mask (B, G); gsum (G, G) = kron(I_heads, ones(M, M)); pre/post_* (D,);
+    per-block params stacked on a leading depth axis; ``pout_w/pout_b`` fuse
+    proj_out so the kernel writes (B, N, OUT) directly.
     """
-    B, N, D = x.shape
-    depth, _, _, G = k_bd.shape
+    B, N = x.shape[:2]
+    depth, _, D, G = k_bd.shape
+    has_head = pin_w is not None
+    has_tail = pout_w is not None
     if N % tile != 0:
         t = tile
         while t >= 128 and N % t != 0:
@@ -120,30 +148,51 @@ def fused_denoiser_core_call(
         nz = len(shape)
         return pl.BlockSpec(shape, lambda b, n, _nz=nz: (0,) * _nz, memory_space=pltpu.VMEM)
 
+    in_ch = x.shape[-1]
+    out_ch = pout_w.shape[-1] if has_tail else D
+    operands = [x]
+    in_specs = [
+        pl.BlockSpec((1, tile, in_ch), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM)
+    ]
+    if has_head:
+        operands += [pin_w, pin_b]
+        in_specs += [rep((in_ch, D)), rep((D,))]
+    operands += [
+        x_ for x_ in (
+            k_bd, v_bd, lane_mask[:, None, :],
+            pre_scale, pre_bias, post_scale, post_bias,
+            n2_scale, n2_bias, wq, wout, bout,
+            ff_scale, ff_bias, w1, b1, w2, b2,
+        )
+    ]
+    in_specs += [
+        pl.BlockSpec((depth, 1, D, G), lambda b, n: (0, b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((depth, 1, G, D), lambda b, n: (0, b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+        rep((D,)), rep((D,)), rep((D,)), rep((D,)),
+        rep((depth, D)), rep((depth, D)),
+        rep((depth, D, D)),
+        rep((depth, D, D)), rep((depth, D)),
+        rep((depth, D)), rep((depth, D)),
+        rep((depth, D, two_inner)), rep((depth, two_inner)),
+        rep((depth, two_inner // 2, D)), rep((depth, D)),
+    ]
+    if has_tail:
+        operands += [pout_w, pout_b]
+        in_specs += [rep((D, out_ch)), rep((out_ch,))]
+    operands += [gsum, scale_arr]
+    in_specs += [
+        rep((G, G)),
+        pl.BlockSpec((1, 1), lambda b, n: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
     return pl.pallas_call(
-        functools.partial(_core_kernel, depth),
+        functools.partial(_core_kernel, depth, has_head, has_tail),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile, D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((depth, 1, D, G), lambda b, n: (0, b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((depth, 1, G, D), lambda b, n: (0, b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-            rep((D,)), rep((D,)), rep((D,)), rep((D,)),
-            rep((depth, D)), rep((depth, D)),
-            rep((depth, D, D)),
-            rep((depth, D, D)), rep((depth, D)),
-            rep((depth, D)), rep((depth, D)),
-            rep((depth, D, two_inner)), rep((depth, two_inner)),
-            rep((depth, two_inner // 2, D)), rep((depth, D)),
-            rep((G, G)),
-            pl.BlockSpec((1, 1), lambda b, n: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile, D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile, out_ch), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, out_ch), x.dtype),
         interpret=interpret,
-    )(
-        x, k_bd, v_bd, lane_mask[:, None, :],
-        pre_scale, pre_bias, post_scale, post_bias,
-        n2_scale, n2_bias, wq, wout, bout,
-        ff_scale, ff_bias, w1, b1, w2, b2, gsum, scale_arr,
-    )
+    )(*operands)
