@@ -143,3 +143,36 @@ class PartCodeTransformer(nn.Module):
             pooled = jnp.max(h, axis=1)
         z = MLP([self.width, self.width], dtype=self.dtype, name="aggregate")(pooled)
         return z, codes
+
+
+@DECOMPOSERS.register_module()
+class PartCodeTransformerV2(PartCodeTransformer):
+    """V2 splits ``output_channels`` evenly across the ``n_ctx`` part tokens
+    and flattens the per-token codes back to one vector
+    (decomposers/transformer.py:263-299); optional post-MLP on the pooled z."""
+
+    post_mlp: bool = False
+
+    @nn.compact
+    def __call__(self, x, params: Sequence[jnp.ndarray] = (), mask=None, train: bool = False):
+        B = x.shape[0]
+        assert self.output_channels % self.n_ctx == 0
+        per_part = self.output_channels // self.n_ctx
+        inner = PartCodeTransformer(
+            input_channels=self.input_channels,
+            output_channels=per_part,
+            n_ctx=self.n_ctx,
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            class_cond=self.class_cond,
+            param_cond=self.param_cond,
+            param_dim=self.param_dim,
+            use_mask_in_transformer=self.use_mask_in_transformer,
+            dtype=self.dtype,
+            name="inner",
+        )
+        z, codes = inner(x, params, mask, train)
+        if self.post_mlp:
+            z = MLP([self.width, self.width], dtype=self.dtype, name="post")(z)
+        return z, codes.reshape(B, self.output_channels)

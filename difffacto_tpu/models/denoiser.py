@@ -161,12 +161,15 @@ class TransformerNet(nn.Module):
     ):
         """proj_in -> pre-LN -> depth blocks -> post-LN -> proj_out.
 
-        On the TPU sampling path the whole network runs as ONE Pallas launch
-        (ops/fused_core.py) with every block's flat params stacked along a
-        leading depth axis: per diffusion step the only HBM traffic is the
-        13-channel input read and the 3/6-channel output write — the
-        (B, N, inner) hidden states never leave VMEM. Training / CPU / odd
-        shapes use the identical math through the per-block modules.
+        On the TPU sampling path the whole trunk (pre-LN + all blocks +
+        post-LN) runs as ONE Pallas launch (ops/fused_core.py) with every
+        block's flat params stacked along a leading depth axis: the
+        (B, N, inner) hidden states make a single HBM round trip per
+        diffusion step. proj_in/proj_out stay in XLA — fusing them into the
+        kernel was measured and regresses (180 -> 143 shapes/s) because the
+        13-lane input / 6-lane output blocks force degenerate layouts.
+        Training / CPU / odd shapes use the identical math through the
+        per-block modules.
         """
         inner = self.n_heads * self.d_head
         pin_k, pin_b = pin
@@ -455,3 +458,45 @@ class PointwiseNet(nn.Module):
             h = jax.nn.leaky_relu(h)
         h = ConcatSquashDense(self.point_dim, dtype=self.dtype, name="cs_out")(h, cond)
         return x + h if self.residual else h
+
+
+@NETS.register_module()
+class PointwiseNetLatent(nn.Module):
+    """Concat-squash LATENT denoiser with per-token conditioning
+    (reference nets/pointwisenet.py:9-59): each of the K part-latent tokens
+    is modulated by [t-embed(3) | its prior token | the (broadcast) code],
+    with ``use_part_ind`` zeroing the code for unselected parts — the
+    language-editing gating used by LatentDiffusionDrift."""
+
+    in_channels: int = 256
+    out_channels: int = 256
+    context_dim: int = 256
+    res: bool = True
+    use_part_ind: bool = False
+    hidden: Sequence[int] = (128, 256, 512, 256, 128)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, t, prior, code=None, part_indicator=None,
+                 deterministic: bool = True):
+        """x (B, K, C) noisy part latents; prior (B, K, P); code (B, F) or
+        (B, K, F); part_indicator (B, K)."""
+        B, K, _ = x.shape
+        tf = t.astype(jnp.float32).reshape(B, 1, 1)
+        time_emb = jnp.concatenate([tf, jnp.sin(tf), jnp.cos(tf)], axis=-1)
+        ctx = [jnp.broadcast_to(time_emb, (B, K, 3)), prior]
+        if code is not None:
+            if code.ndim == 2:
+                code = code[:, None]
+            code = jnp.broadcast_to(code, (B, K, code.shape[-1]))
+            if self.use_part_ind and part_indicator is not None:
+                code = code * part_indicator[..., None]
+            ctx.append(code)
+        cond = jnp.concatenate(ctx, axis=-1)
+
+        h = x
+        for i, f in enumerate(self.hidden):
+            h = ConcatSquashDense(f, dtype=self.dtype, name=f"cs_{i}")(h, cond)
+            h = jax.nn.leaky_relu(h)
+        h = ConcatSquashDense(self.out_channels, dtype=self.dtype, name="cs_out")(h, cond)
+        return h + x if self.res else h

@@ -356,3 +356,43 @@ class TestAnchorDiffGenPartglot:
             rngs=rngs, mutable=["batch_stats"],
         )
         assert comb["pred"].shape == (1, 32, 3)
+
+
+class TestLatentNets:
+    def test_pointwisenet_latent(self):
+        from difffacto_tpu.models.denoiser import PointwiseNetLatent
+
+        net = PointwiseNetLatent(
+            in_channels=16, out_channels=16, context_dim=16,
+            hidden=(8, 16, 8), use_part_ind=True,
+        )
+        x = randn(2, 4, 16)
+        t = jnp.array([0.1, 0.5])
+        prior = randn(2, 4, 16, seed=1)
+        code = randn(2, 16, seed=2)
+        ind = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0]], jnp.float32)
+        vs = jax.jit(lambda: net.init(RNGS, x, t, prior, code, ind))()
+        out = net.apply(vs, x, t, prior, code, ind)
+        assert out.shape == (2, 4, 16)
+        assert np.isfinite(np.asarray(out)).all()
+        # residual net with gating: code for unselected parts must not matter
+        code2 = code + 100.0
+        o1 = net.apply(vs, x, t, prior, code, ind)
+        o2 = net.apply(vs, x, t, prior, code2, ind)
+        assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-4  # selected parts DO change
+        ind0 = jnp.zeros_like(ind)
+        o3 = net.apply(vs, x, t, prior, code, ind0)
+        o4 = net.apply(vs, x, t, prior, code2, ind0)
+        np.testing.assert_allclose(np.asarray(o3), np.asarray(o4), atol=1e-5)
+
+    def test_part_code_transformer_v2(self):
+        from difffacto_tpu.models.decomposers import PartCodeTransformerV2
+
+        m = PartCodeTransformerV2(
+            input_channels=16, output_channels=16, n_ctx=4, width=32,
+            layers=2, heads=2, param_cond=False,
+        )
+        x = randn(2, 4, 16)
+        vs = jax.jit(lambda: m.init(RNGS, x))()
+        z, codes = m.apply(vs, x)
+        assert z.shape == (2, 32) and codes.shape == (2, 16)
