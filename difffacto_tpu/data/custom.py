@@ -228,3 +228,44 @@ def Partnet(batch_size, root, npoints=2048, n_class=4, shuffle=True, split="trai
             "scale_mode", "part_scale_mode", "clip", "class_choice")},
     )
     return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+
+
+class _PartglotTripletDataset:
+    """Packed PartGlot language-game triplets (written by
+    tools/pack_partglot.py; reference tools/process_data.py:99-170): each item
+    is a target/distractor pair of super-segment clouds with the utterance's
+    token ids and part indicator."""
+
+    def __init__(self, path: str):
+        z = np.load(path, allow_pickle=True)
+        self.gt = np.asarray(z["gt_geos"], np.float32)
+        self.dis = np.asarray(z["distractor_geos"], np.float32)
+        self.gt_mask = np.asarray(z["gt_mask"], np.float32)
+        self.dis_mask = np.asarray(z["distractor_mask"], np.float32)
+        self.texts = np.asarray(z["texts"], np.int32)
+        self.part_indicator = np.asarray(z["part_indicator"], np.float32)
+
+    def __len__(self):
+        return len(self.gt)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return {
+            "gt_geos": self.gt[index],
+            "distractor_geos": self.dis[index],
+            "gt_mask": self.gt_mask[index],
+            "distractor_mask": self.dis_mask[index],
+            "text": self.texts[index],
+            "part_indicator": self.part_indicator[index],
+            "id": np.int32(index),
+            "token": f"partglot_{index}",
+        }
+
+    def evaluate(self, results, save_num_batch, device=None):
+        return {}, {}
+
+
+@DATASETS.register_module()
+def PartglotTriplet(batch_size, path, shuffle=True, drop_last=False,
+                    distributed=False, **_):
+    ds = _PartglotTripletDataset(path)
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None

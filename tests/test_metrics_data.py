@@ -197,3 +197,44 @@ class TestSeparatePointCloud:
         batch = next(iter(loader))
         assert batch["partial"].shape == (2, 48, 3)
         assert batch["missing"].shape == (2, 16, 3)
+
+
+def test_partglot_triplet_roundtrip(tmp_path):
+    """pack_partglot.py output loads through the PartglotTriplet dataset."""
+    import os
+    import pickle
+    import subprocess
+    import sys as _sys
+
+    h5py = pytest.importorskip("h5py")
+    rng = np.random.RandomState(0)
+    S, n_seg, npt = 6, 5, 16
+    with h5py.File(tmp_path / "segs.h5", "w") as f:
+        f["data"] = rng.randn(S, n_seg, npt, 3).astype(np.float32)
+        f["mask"] = np.ones((S, n_seg), np.float32)
+    game = {
+        "text": [["a", "chair", "with", "thick", "legs"], ["tall", "back"]],
+        "target_chair": [0, 1],
+        "chair_a": [0, 1], "chair_b": [3, 4], "chair_c": [1, 2],
+    }
+    with open(tmp_path / "game.pkl", "wb") as f:
+        pickle.dump((game, {"a": 2, "chair": 3, "legs": 4, "back": 5},
+                     None, None, None, None), f)
+    out = subprocess.run(
+        [_sys.executable, "tools/pack_partglot.py",
+         "--game-data", str(tmp_path / "game.pkl"),
+         "--h5", str(tmp_path / "segs.h5"),
+         "--output", str(tmp_path / "packed.npz"), "--part-only"],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    from difffacto_tpu.utils.registry import DATASETS, build_from_cfg
+
+    loader, _ = build_from_cfg(
+        dict(type="PartglotTriplet", batch_size=2, path=str(tmp_path / "packed.npz")),
+        DATASETS,
+    )
+    batch = next(iter(loader))
+    assert batch["gt_geos"].shape == (2, n_seg, npt, 3)
+    assert batch["text"].shape[0] == 2 and batch["part_indicator"].shape == (2, 4)
