@@ -182,11 +182,16 @@ def separate_point_cloud(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     crng, nrng = jax.random.split(rng)
+    # host-side draws (crop count / fixed-point choice become static shapes)
+    # derive from the SAME key so runs are replayable end to end
+    host_rng = np.random.RandomState(
+        int(np.asarray(jax.random.key_data(nrng)).ravel()[-1]) & 0x7FFFFFFF
+    )
 
     resample = isinstance(crop, (list, tuple))
     if resample:
         lo, hi = crop
-        num_crop = int(np.random.randint(lo, hi))
+        num_crop = int(host_rng.randint(lo, hi))
     else:
         num_crop = int(crop)
 
@@ -195,7 +200,7 @@ def separate_point_cloud(
         center = center / jnp.linalg.norm(center, axis=-1, keepdims=True)
     else:
         if isinstance(fixed_points, (list, tuple)):
-            fixed_points = fixed_points[int(np.random.randint(len(fixed_points)))]
+            fixed_points = fixed_points[int(host_rng.randint(len(fixed_points)))]
         center = jnp.broadcast_to(jnp.asarray(fixed_points).reshape(1, 1, 3), (B, 1, 3))
 
     dist = jnp.linalg.norm(xyz - center, axis=-1)  # (B, n)

@@ -410,12 +410,15 @@ class AnchorDiffAE(nn.Module):
 _PIPELINE_CACHE: dict = {}
 
 
-def _cached_jit(key, build):
-    fn = _PIPELINE_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(build())
-        _PIPELINE_CACHE[key] = fn
-    return fn
+def _cached_jit(key, build, model=None):
+    """Keys include id(model); pinning the model in the entry keeps that id
+    from being recycled by a later allocation (a freed model's address could
+    otherwise alias a new model and return a stale jitted closure)."""
+    entry = _PIPELINE_CACHE.get(key)
+    if entry is None:
+        entry = (jax.jit(build()), model)
+        _PIPELINE_CACHE[key] = entry
+    return entry[0]
 
 
 def _model_fn(model: AnchorDiffAE, variables, train: bool = False, rngs=None):
@@ -473,7 +476,7 @@ def decode(
 
         return run
 
-    fn = _cached_jit(("decode", id(model), ret_traj, ret_interval), build)
+    fn = _cached_jit(("decode", id(model), ret_traj, ret_interval), build, model)
     return fn(variables, rng, anchors, ctx, variance, seg_mask, valid_id, noise)
 
 
@@ -508,7 +511,7 @@ def sample_generation(
 
         return run
 
-    prep = _cached_jit(("prepare_generation", id(model), sample_num), build)
+    prep = _cached_jit(("prepare_generation", id(model), sample_num), build, model)
     ctx, mean_pp, var_pp, seg_mask, vid, latents = prep(
         variables, fixed_id, valid_id, epoch, lat_rng
     )
@@ -554,7 +557,7 @@ def reconstruct(
 
         return run
 
-    prep = _cached_jit(("prepare_reconstruction", id(model)), build)
+    prep = _cached_jit(("prepare_reconstruction", id(model)), build, model)
     ctx, mean_pp, var_pp, latents = prep(variables, batch, noise, epoch, enc_rng)
     seg_mask = batch["ref_seg_mask"].astype(jnp.int32)
     valid_id = batch.get("present")
@@ -596,7 +599,7 @@ def select_best_noise(
 
         return run
 
-    fn = _cached_jit(("sample_noise_candidates", id(model), num), build)
+    fn = _cached_jit(("sample_noise_candidates", id(model), num), build, model)
     noise, fit = fn(variables, batch, rng)
     best = jnp.argmin(fit, axis=1)
     selected = jnp.take_along_axis(noise, best[:, None, None], axis=1)[:, 0]

@@ -185,10 +185,7 @@ class TransformerNet(nn.Module):
             and M <= 8
             and (jax.default_backend() == "tpu" or _pallas_interpret())
         )
-        # proj_in/proj_out fold into the kernel only without the t-embedding
-        # bias on x (add_t_to_x); that config falls back to the XLA path.
-        fuse_io = t_embed is None
-        if use_stack and fuse_io:
+        if use_stack:
             from ..ops.fused_core import fused_denoiser_core_call
             from ..ops.fused_ff import pick_tile
 
@@ -228,6 +225,8 @@ class TransformerNet(nn.Module):
                 # shapes/s — the 13-lane input / 6-lane output blocks force
                 # degenerate layouts.
                 h0 = (x.astype(cdt) @ pin_k.astype(cdt) + pin_b.astype(cdt))
+                if t_embed is not None:  # add_t_to_x: bias h0 before the trunk
+                    h0 = h0 + t_embed.astype(cdt)[:, None]
                 hk = fused_denoiser_core_call(
                     h0, k_bd, v_bd, lane_mask, gsum,
                     pre_scale.astype(cdt), pre_bias.astype(cdt),

@@ -49,7 +49,8 @@ class Vocabulary:
 
     def encode(self, text: str, max_len: int = 24) -> np.ndarray:
         toks = re.findall(r"[a-z']+", text.lower())
-        ids = [self.word2idx.get(t, 1) for t in toks][:max_len]
+        unk = self.word2idx.get("<unk>", 1)
+        ids = [self.word2idx.get(t, unk) for t in toks][:max_len]
         out = np.zeros(max_len, np.int32)
         out[: len(ids)] = ids
         return out

@@ -87,6 +87,21 @@ class PartAlignerCIMLE(nn.Module):
         return m, v
 
 
+def _td_prepare_ctx(enc, part_code, mean, logvar, *, scale_var=True, std=False):
+    """Shared transformer-decoder ctx assembly: [part_code | mean, var-feat],
+    honoring the encoder's detach_params_in_ctx flag (part_encoder.py:437-446).
+    ``scale_var`` applies the log_scale_var offset; ``std`` emits exp(0.5*lv)."""
+    ctx = [part_code] if enc.include_part_code else []
+    if enc.include_params:
+        lv = logvar + enc.log_scale_var if scale_var else logvar
+        var = jnp.exp(0.5 * lv) if std else jnp.exp(lv)
+        params = jnp.concatenate([mean, var], axis=-1)
+        if enc.detach_params_in_ctx:
+            params = jax.lax.stop_gradient(params)
+        ctx.append(params)
+    return jnp.concatenate(ctx, axis=-1)
+
+
 @ENCODERS.register_module()
 class PartEncodercVAE(PartEncoderForTransformerDecoder):
     """Aligner noise from a conditional VAE posterior (part_encoders.py:1329-1420)."""
@@ -123,12 +138,7 @@ class PartEncoderVAE(PartEncoderForTransformerDecoder):
     (part_encoders.py:1560-1572)."""
 
     def prepare_ctx(self, part_code, mean, logvar, seg_mask=None):
-        ctx = [part_code] if self.include_part_code else []
-        if self.include_params:
-            ctx.append(
-                jnp.concatenate([mean, jnp.exp(logvar + self.log_scale_var)], axis=-1)
-            )
-        return jnp.concatenate(ctx, axis=-1)
+        return _td_prepare_ctx(self, part_code, mean, logvar)
 
 
 @ENCODERS.register_module()
@@ -186,12 +196,7 @@ class PartEncoderForPartnetAndTransformerDecoder(PartEncoderForPartnet):
     (part_encoders.py:1559-1572)."""
 
     def prepare_ctx(self, part_code, mean, logvar, seg_mask=None):
-        ctx = [part_code] if self.include_part_code else []
-        if self.include_params:
-            ctx.append(
-                jnp.concatenate([mean, jnp.exp(logvar + self.log_scale_var)], axis=-1)
-            )
-        return jnp.concatenate(ctx, axis=-1)
+        return _td_prepare_ctx(self, part_code, mean, logvar)
 
 
 @ENCODERS.register_module()
@@ -204,12 +209,7 @@ class PartEncoderForTransformerDecoderCIMLE(PartEncoderCIMLE):
     self-consistent reading (codes pass through, params from the aligner)."""
 
     def prepare_ctx(self, part_code, mean, logvar, seg_mask=None):
-        ctx = [part_code] if self.include_part_code else []
-        if self.include_params:
-            ctx.append(
-                jnp.concatenate([mean, jnp.exp(logvar + self.log_scale_var)], axis=-1)
-            )
-        return jnp.concatenate(ctx, axis=-1)
+        return _td_prepare_ctx(self, part_code, mean, logvar)
 
 
 @ENCODERS.register_module()
@@ -221,11 +221,9 @@ class PartEncoderForTransformerDecoderKLLoss(PartEncoderWithKLLoss):
     include_std: bool = False
 
     def prepare_ctx(self, part_code, mean, logvar, seg_mask=None):
-        ctx = [part_code] if self.include_part_code else []
-        if self.include_params:
-            var = jnp.exp(0.5 * logvar) if self.include_std else jnp.exp(logvar)
-            ctx.append(jnp.concatenate([mean, var], axis=-1))
-        return jnp.concatenate(ctx, axis=-1)
+        return _td_prepare_ctx(
+            self, part_code, mean, logvar, scale_var=False, std=self.include_std
+        )
 
 
 @ENCODERS.register_module()

@@ -75,9 +75,14 @@ def main():
 
     vocab = None
     if word2int:
-        # preserve the PartGlot id assignment exactly
+        # Preserve the PartGlot id assignment exactly (pretrained listener
+        # embeddings index by these ids); route OOV tokens to a dedicated id
+        # above the existing range instead of clobbering id 1, which PartGlot
+        # may assign to a real word. Padding stays 0 (PartGlot pads with 0
+        # too: pad_text_symbols_with_zeros).
         vocab = Vocabulary()
         vocab.word2idx = {str(w): int(i) for w, i in dict(word2int).items()}
+        vocab.word2idx.setdefault("<unk>", max(vocab.word2idx.values()) + 1)
 
     texts = list(game["text"])
     targets = np.asarray(game["target_chair"], np.int64)

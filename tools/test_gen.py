@@ -64,11 +64,24 @@ def main():
         gen = gen[:, 0]
     print(f"gen {gen.shape}  ref {ref.shape}")
 
+    seg_gen = np.asarray(z["seg_mask"]) if "seg_mask" in z else None
+    seg_ref = (
+        np.asarray(refsrc["ref_seg_mask"]) if "ref_seg_mask" in refsrc else seg_gen
+    )
+
+    def resample(pts, seg):
+        """FPS to 2048 and keep the seg mask aligned with the kept points."""
+        idx = np.asarray(fps(jnp.asarray(pts), 2048, ret_id=True)[1])
+        pts = np.take_along_axis(pts, idx[..., None], axis=1)
+        if seg is not None:
+            seg = np.take_along_axis(seg, idx, axis=1)
+        return pts, seg
+
     if not args.no_normalize:
         if gen.shape[1] > 2048:
-            gen = np.asarray(fps(jnp.asarray(gen), 2048))
+            gen, seg_gen = resample(gen, seg_gen)
         if ref.shape[1] > 2048:
-            ref = np.asarray(fps(jnp.asarray(ref), 2048))
+            ref, seg_ref = resample(ref, seg_ref)
         gen = bbox_normalize(gen)
         ref = bbox_normalize(ref)
 
@@ -79,10 +92,6 @@ def main():
         print(f"{k}: {float(v):.6f}")
 
     if args.bbox or args.part or args.snapping:
-        seg_gen = np.asarray(z["seg_mask"]) if "seg_mask" in z else None
-        seg_ref = (
-            np.asarray(refsrc["ref_seg_mask"]) if "ref_seg_mask" in refsrc else seg_gen
-        )
         if seg_gen is None:
             print("no seg_mask in dump; skipping part-aware metrics")
             return
