@@ -237,12 +237,18 @@ class BasicTransformerBlock(nn.Module):
         B, N = x.shape[0], x.shape[1]
         M = context.shape[1] if context is not None else N
 
+        import os
+
+        interp = (
+            jax.default_backend() != "tpu"
+            and os.environ.get("DIFFFACTO_PALLAS_INTERPRET", "") == "1"
+        )
         use_kernel = (
             deterministic
             and context is not None
             and M <= 8
             and D % 128 == 0
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or interp)
         )
         if use_kernel:
             from ..ops.fused_block import fused_denoiser_block_call
@@ -269,7 +275,7 @@ class BasicTransformerBlock(nn.Module):
                     ffn_ln_scale.astype(cdt), ffn_ln_bias.astype(cdt),
                     ffn_w1.astype(cdt), ffn_b1,
                     ffn_w2.astype(cdt), ffn_b2,
-                    scale, tile=tile,
+                    scale, tile=tile, interpret=interp,
                 ).astype(x.dtype)
 
         # ---- unfused path, identical math and parameters

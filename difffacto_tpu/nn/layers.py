@@ -123,9 +123,15 @@ class FusedLNFF(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (D,), jnp.float32)
 
         cdt = self.dtype or x.dtype
+        import os as _os
+
+        interp = (
+            _jax.default_backend() != "tpu"
+            and _os.environ.get("DIFFFACTO_PALLAS_INTERPRET", "") == "1"
+        )
         use_fused = (
             deterministic
-            and _jax.default_backend() == "tpu"
+            and (_jax.default_backend() == "tpu" or interp)
             and x.ndim == 3
             and D % 128 == 0
         )
@@ -146,6 +152,7 @@ class FusedLNFF(nn.Module):
                     w2.astype(cdt),
                     b2,
                     tile,
+                    interp,
                 )
                 return out.reshape(B, N, D).astype(x.dtype)
 

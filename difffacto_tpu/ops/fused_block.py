@@ -79,6 +79,7 @@ def _block_kernel(
 def fused_denoiser_block_call(
     x, k_bd, v_bd, lane_mask, gsum, n2_scale, n2_bias, wq, wout, bout,
     ff_scale, ff_bias, w1, b1, w2, b2, scale: float, tile: int = 1024,
+    interpret: bool = False,
 ):
     """Launch the mega-kernel. gsum: (G, G) grouped-sum matrix
     (kron(I_heads, ones(M, M)))."""
@@ -116,6 +117,7 @@ def fused_denoiser_block_call(
         ],
         out_specs=pl.BlockSpec((1, tile, D), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        interpret=interpret,
     )(
         x, k_bd, v_bd, lane_mask[:, None, :], n2_scale, n2_bias, wq, wout, bout,
         ff_scale, ff_bias, w1, b1, w2, b2, gsum, scale_arr,

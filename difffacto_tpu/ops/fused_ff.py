@@ -44,8 +44,9 @@ def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[:] = x + out.astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(7,))
-def fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, tile: int = 1024):
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, tile: int = 1024,
+                      interpret: bool = False):
     """x (T, D) -> x + FF(LN(x)); LN eps 1e-5 (torch LayerNorm parity).
 
     Shapes: w1 (D, 2*inner), b1 (2*inner,), w2 (inner, D), b2 (D,).
@@ -69,6 +70,7 @@ def fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, tile: int = 1024):
         ],
         out_specs=pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, D), x.dtype),
+        interpret=interpret,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 

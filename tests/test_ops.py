@@ -306,3 +306,41 @@ class TestFusedDenoiserCore:
         y1 = net.apply(variables, x, t, ctx, anchors, variances, seg, valid0)
         y2 = net.apply(variables, x, t, ctx2, anchors, variances, seg, valid0)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+class TestFusedBlockAndFF:
+    """Interpret-mode CPU parity for the per-block kernel (ops/fused_block.py,
+    used standalone e.g. by the part aligner) and the fused LN-GEGLU-FF
+    kernel (ops/fused_ff.py)."""
+
+    def test_block_kernel_matches_module(self, monkeypatch):
+        from difffacto_tpu.nn.attention import BasicTransformerBlock
+
+        blk = BasicTransformerBlock(
+            dim=128, n_heads=8, d_head=16, context_dim=22, single_attn=True
+        )
+        rng = np.random.RandomState(31)
+        x = jnp.array(rng.randn(2, 256, 128), jnp.float32)
+        ctx = jnp.array(rng.randn(2, 4, 22), jnp.float32)
+        mask = jnp.array([[1, 1, 1, 1], [1, 0, 1, 1]], jnp.float32)
+        vs = blk.init(jax.random.PRNGKey(0), x, ctx, mask)
+        y_ref = blk.apply(vs, x, ctx, mask)
+        monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+        y_kernel = blk.apply(vs, x, ctx, mask)
+        np.testing.assert_allclose(
+            np.asarray(y_kernel), np.asarray(y_ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_fused_ff_matches_module(self, monkeypatch):
+        from difffacto_tpu.nn.layers import FusedLNFF
+
+        ff = FusedLNFF(dim=128)
+        rng = np.random.RandomState(32)
+        x = jnp.array(rng.randn(2, 256, 128), jnp.float32)
+        vs = ff.init(jax.random.PRNGKey(0), x)
+        y_ref = ff.apply(vs, x)
+        monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+        y_kernel = ff.apply(vs, x)
+        np.testing.assert_allclose(
+            np.asarray(y_kernel), np.asarray(y_ref), rtol=2e-4, atol=2e-4
+        )
