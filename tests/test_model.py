@@ -236,6 +236,44 @@ class TestSampling:
         assert not np.any(np.asarray(out["seg_mask"]) == 3)
 
 
+class TestPSampleLoopEquivalence:
+    def test_scan_matches_manual_unroll(self):
+        """p_sample_loop's scan == stepping p_sample by hand with the same
+        rng discipline — pins the carry/xs threading."""
+        from difffacto_tpu.models.diffusion import AnchoredDiffusion
+
+        T, B, N = 5, 2, 16
+        diff = AnchoredDiffusion(
+            num_timesteps=T, beta_1=1e-4, beta_T=0.02, k=1.0, res=False,
+            use_beta=False, model_mean_type="epsilon",
+            model_var_type="fixed_small", include_anchors=False,
+        )
+        anchors = jnp.asarray(
+            np.random.RandomState(0).randn(B, N, 3), jnp.float32
+        )
+
+        def model_fn(inp, ts, ctx, anc, var, seg, vid):
+            return jnp.tanh(inp[..., :3]) * 0.1
+
+        rng = jax.random.PRNGKey(42)
+        out = diff.p_sample_loop(model_fn, rng, anchors)
+
+        init_rng, chain_rng = jax.random.split(rng)
+        L = jnp.sqrt(jnp.full_like(anchors, diff.k * diff.k))
+        x = L * jax.random.normal(init_rng, anchors.shape) + anchors
+        steps = np.asarray(diff.steps)[::-1]
+        step_rngs = jax.random.split(chain_rng, T)
+        for i, t_scalar in enumerate(steps):
+            t = jnp.full((B,), int(t_scalar), jnp.int32)
+            noise = jax.random.normal(step_rngs[i], x.shape, x.dtype)
+            x = diff.p_sample(
+                model_fn, None, x, t, anchors, noise=noise
+            )["sample"]
+        np.testing.assert_allclose(
+            np.asarray(out["pred"]), np.asarray(x), rtol=1e-5, atol=1e-5
+        )
+
+
 class TestVariants:
     @pytest.mark.parametrize("mean_type", ["x_0", "epsilon", "drifted_epsilon4", "scaled_epsilon"])
     def test_mean_types(self, mean_type):
