@@ -20,6 +20,7 @@ ITERS = 10
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch, _model_cfg
     from difffacto_tpu.parallel import (
@@ -32,6 +33,10 @@ def main():
     mcfg = _model_cfg(npoints=NPOINTS)
     mcfg["gen"] = False
     mcfg["encoder"]["gen"] = False
+    if "--bf16" in sys.argv:
+        # bf16 module compute (params/optimizer/chain math stay f32).
+        mcfg["dtype"] = jnp.bfloat16
+        print("denoiser/encoder compute dtype: bfloat16")
     model = build_from_cfg(mcfg, MODELS)
     tx = build_optimizer_from_cfg(
         dict(type="Adam", lr=2e-3, weight_decay=0.0),
