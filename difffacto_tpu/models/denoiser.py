@@ -177,16 +177,28 @@ class TransformerNet(nn.Module):
         cdt = self.dtype or x.dtype
         B, N = x.shape[0], x.shape[1]
         M = ctx.shape[1]
-        use_stack = (
-            deterministic
-            and self.single_attn
+        kernel_ok = (
+            self.single_attn
             and not self.use_checkpoint
             and inner % 128 == 0
             and M <= 8
             and (jax.default_backend() == "tpu" or _pallas_interpret())
         )
+        # Training path: same trunk as ONE custom-VJP Pallas kernel pair
+        # (ops/fused_core_train.py). In-kernel dropout needs the TPU hardware
+        # PRNG, so with dropout>0 the kernel only engages on real TPUs.
+        import os as _os
+
+        train_kernel_ok = (
+            kernel_ok
+            and not deterministic
+            and _os.environ.get("DIFFFACTO_NO_TRAIN_KERNEL", "") != "1"
+            and (self.dropout == 0.0 or jax.default_backend() == "tpu")
+        )
+        use_stack = kernel_ok and (deterministic or train_kernel_ok)
         if use_stack:
             from ..ops.fused_core import fused_denoiser_core_call
+            from ..ops.fused_core_train import fused_trunk_train_call
             from ..ops.fused_ff import pick_tile
 
             tile = pick_tile(N)
@@ -227,7 +239,7 @@ class TransformerNet(nn.Module):
                 h0 = (x.astype(cdt) @ pin_k.astype(cdt) + pin_b.astype(cdt))
                 if t_embed is not None:  # add_t_to_x: bias h0 before the trunk
                     h0 = h0 + t_embed.astype(cdt)[:, None]
-                hk = fused_denoiser_core_call(
+                trunk_args = (
                     h0, k_bd, v_bd, lane_mask, gsum,
                     pre_scale.astype(cdt), pre_bias.astype(cdt),
                     post_scale.astype(cdt), post_bias.astype(cdt),
@@ -236,9 +248,31 @@ class TransformerNet(nn.Module):
                     stk("ffn_ln_scale"), stk("ffn_ln_bias"),
                     stk("ffn_w1"), stk("ffn_b1", jnp.float32),
                     stk("ffn_w2"), stk("ffn_b2", jnp.float32),
-                    dh**-0.5, tile=tile,
-                    interpret=jax.default_backend() != "tpu",
                 )
+                if deterministic:
+                    hk = fused_denoiser_core_call(
+                        *trunk_args,
+                        dh**-0.5, tile=tile,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                else:
+                    if self.dropout > 0.0:
+                        seed = jax.random.randint(
+                            self.make_rng("dropout"), (1, 1), 0, 2**31 - 1,
+                            dtype=jnp.int32,
+                        )
+                    else:
+                        seed = jnp.zeros((1, 1), jnp.int32)
+                    train_tile = int(
+                        _os.environ.get("DIFFFACTO_TRAIN_KERNEL_TILE", "256")
+                    )
+                    hk = fused_trunk_train_call(
+                        seed, *trunk_args,
+                        scale=dh**-0.5,
+                        tile=min(train_tile, tile),
+                        dropout_p=float(self.dropout),
+                        interpret=jax.default_backend() != "tpu",
+                    )
                 return (hk @ pout_k.astype(cdt) + pout_b.astype(cdt)).astype(x.dtype)
 
         # ---- unfused composition, identical math and parameters

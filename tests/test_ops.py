@@ -308,6 +308,102 @@ class TestFusedDenoiserCore:
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
 
+class TestFusedTrunkTrain:
+    """The training trunk kernel pair (ops/fused_core_train.py) must match
+    the unfused module path in BOTH directions: forward values and gradients
+    w.r.t. every parameter and the input. Runs the REAL kernels in Pallas
+    interpret mode on CPU (dropout_p=0; in-kernel dropout needs the TPU
+    hardware PRNG and is validated by tools/tpu_kernel_check.py --train)."""
+
+    def _make(self):
+        from difffacto_tpu.models.denoiser import TransformerNet
+
+        net = TransformerNet(
+            in_channels=3,
+            out_channels=3,
+            n_heads=8,
+            d_head=16,  # inner = 128: kernel-eligible
+            depth=2,
+            dropout=0.0,
+            context_dim=22,
+            n_class=4,
+            class_cond=True,
+            cat_params_to_x=True,
+            single_attn=True,
+            cat_class_to_x=True,
+        )
+        rng = np.random.RandomState(77)
+        B, N = 2, 128
+        x = jnp.array(rng.randn(B, N, 3), jnp.float32)
+        t = jnp.array([1.0, 3.0], jnp.float32)
+        ctx = jnp.array(rng.randn(B, 4, 22), jnp.float32)
+        anchors = jnp.array(rng.randn(B, N, 3) * 0.1, jnp.float32)
+        variances = jnp.array(np.abs(rng.randn(B, N, 3)) * 0.5 + 0.1, jnp.float32)
+        seg = jnp.array(np.repeat(np.arange(4), N // 4)[None].repeat(B, 0), jnp.int32)
+        valid = jnp.array([[1, 1, 1, 1], [1, 0, 1, 1]], jnp.float32)
+        args = (x, t, ctx, anchors, variances, seg, valid)
+        variables = net.init(jax.random.PRNGKey(0), *args)
+        cot = jnp.array(rng.randn(B, N, 3), jnp.float32)  # non-uniform cotangent
+        return net, variables, args, cot
+
+    def _loss(self, net, variables, args, cot):
+        y = net.apply(
+            variables, *args, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(5)},
+        )
+        return jnp.sum(y * cot)
+
+    def test_train_forward_matches_eval(self, monkeypatch):
+        """dropout=0 training forward (train kernel) == deterministic
+        forward (eval kernel) — the two fwd kernels must not drift."""
+        net, variables, args, _ = self._make()
+        monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+        y_eval = net.apply(variables, *args, deterministic=True)
+        y_train = net.apply(
+            variables, *args, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(5)},
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_train), np.asarray(y_eval), rtol=1e-5, atol=1e-5
+        )
+
+    def test_train_grads_match_unfused(self, monkeypatch):
+        net, variables, args, cot = self._make()
+
+        def loss_fn(variables, x):
+            return self._loss(net, variables, (x,) + args[1:], cot)
+
+        def loss_ctx(variables, ctx):
+            a = list(args)
+            a[2] = ctx
+            return self._loss(net, variables, tuple(a), cot)
+
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1))
+        g_ref, gx_ref = grad_fn(variables, args[0])
+        gctx_ref = jax.grad(loss_ctx, argnums=1)(variables, args[2])
+
+        monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+        g_k, gx_k = grad_fn(variables, args[0])
+        gctx_k = jax.grad(loss_ctx, argnums=1)(variables, args[2])
+
+        np.testing.assert_allclose(
+            np.asarray(gx_k), np.asarray(gx_ref), rtol=5e-3, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gctx_k), np.asarray(gctx_ref), rtol=5e-3, atol=5e-4
+        )
+        import flax
+
+        flat_ref = flax.traverse_util.flatten_dict(g_ref["params"])
+        flat_k = flax.traverse_util.flatten_dict(g_k["params"])
+        assert set(flat_ref) == set(flat_k)
+        for key in sorted(flat_ref):
+            a, bv = np.asarray(flat_k[key]), np.asarray(flat_ref[key])
+            np.testing.assert_allclose(
+                a, bv, rtol=5e-3, atol=5e-4, err_msg="/".join(key)
+            )
+
+
 class TestFusedBlockAndFF:
     """Interpret-mode CPU parity for the per-block kernel (ops/fused_block.py,
     used standalone e.g. by the part aligner) and the fused LN-GEGLU-FF

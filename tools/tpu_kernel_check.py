@@ -5,6 +5,18 @@ unfused XLA math (same layout as nn/attention.BasicTransformerBlock's
 _fused_layout fallback path) on random bf16 inputs, then times the kernel.
 
 Run on the real TPU:  python tools/tpu_kernel_check.py
+
+``--train`` instead validates the TRAINING trunk kernel pair
+(ops/fused_core_train.py) with in-kernel dropout, which the CPU interpreter
+cannot exercise (prng_random_bits is a zeros-stub there):
+  * same seed -> bit-identical output; different seed -> different output;
+  * mean over many seeds approaches the p=0 output (E[dropout(x)] = x);
+  * the masks are EXPORTED via a small Pallas kernel and the whole trunk is
+    rebuilt in plain XLA with those masks: forward values and every gradient
+    (params, x) must match the custom-VJP kernels analytically — proving the
+    backward kernel regenerates exactly the forward's masks. (Directional
+    finite differences are useless here: FD through the tunnel is noisy and
+    repeated same-program dispatches get content-cached.)
 """
 
 import os
@@ -106,5 +118,162 @@ def main():
         print(f"{name}: {dt * 1e3:.3f} ms/call  {2 * macs / dt / 1e12:.2f} TFLOP/s")
 
 
+def train_check():
+    import numpy as np
+
+    from difffacto_tpu.ops.fused_core_train import fused_trunk_train_call
+
+    depth, Bt, Nt, Dt, Ht, Mt = 2, 4, 512, 128, 8, 4
+    dh = Dt // Ht
+    G = Ht * Mt
+    inner = 4 * Dt
+    p = 0.2
+    rng = np.random.RandomState(3)
+
+    def f32(*shape, s=0.05):
+        return jnp.asarray(rng.randn(*shape) * s, jnp.float32)
+
+    x = f32(Bt, Nt, Dt, s=1.0)
+    k_bd_src = f32(depth, Bt, Mt, Ht, dh, s=0.3)
+    v_bd_src = f32(depth, Bt, Mt, Ht, dh, s=0.3)
+    eye = jnp.eye(Ht, dtype=jnp.float32)
+    k_bd = jnp.einsum("ibmhd,gh->ibgdhm", k_bd_src, eye).reshape(depth, Bt, Dt, G)
+    v_bd = jnp.einsum("ibmhd,hg->ibhmgd", v_bd_src, eye).reshape(depth, Bt, G, Dt)
+    lane_mask = jnp.ones((Bt, G), jnp.float32)
+    gsum = jnp.kron(eye, jnp.ones((Mt, Mt), jnp.float32))
+    params = dict(
+        pre_scale=1.0 + f32(Dt), pre_bias=f32(Dt),
+        post_scale=1.0 + f32(Dt), post_bias=f32(Dt),
+        n2_scale=1.0 + f32(depth, Dt), n2_bias=f32(depth, Dt),
+        wq=f32(depth, Dt, Dt), wout=f32(depth, Dt, Dt), bout=f32(depth, Dt),
+        ff_scale=1.0 + f32(depth, Dt), ff_bias=f32(depth, Dt),
+        w1=f32(depth, Dt, 2 * inner), b1=f32(depth, 2 * inner),
+        w2=f32(depth, inner, Dt), b2=f32(depth, Dt),
+    )
+    cot = f32(Bt, Nt, Dt, s=1.0)
+    order = list(params)
+
+    def run(seed, w1, xx, pp=p):
+        pr = dict(params)
+        pr["w1"] = w1
+        return fused_trunk_train_call(
+            jnp.full((1, 1), seed, jnp.int32), xx, k_bd, v_bd, lane_mask,
+            gsum, *[pr[k] for k in order], scale=dh**-0.5, tile=256,
+            dropout_p=pp,
+        )
+
+    run_j = jax.jit(run, static_argnames=("pp",))
+    y1 = run_j(7, params["w1"], x)
+    y2 = run_j(7, params["w1"], x)
+    y3 = run_j(8, params["w1"], x)
+    print("same-seed identical:", bool(jnp.all(y1 == y2)),
+          " diff-seed differs:", bool(jnp.any(y1 != y3)))
+
+    y0 = run_j(0, params["w1"], x, pp=0.0)
+    acc = jnp.zeros_like(y0)
+    S = 64
+    for s in range(S):
+        acc = acc + run_j(1000 + s, params["w1"], x)
+    mean_err = float(jnp.abs(acc / S - y0).mean() / jnp.abs(y0).mean())
+    print(f"mean-over-{S}-seeds vs p=0 rel err: {mean_err:.4f} (expect ~0.1)")
+
+    # ---- definitive fwd/bwd mask-agreement check: export the in-kernel
+    # masks with a tiny Pallas kernel, rebuild the trunk in plain XLA with
+    # those masks, and compare values AND every gradient analytically.
+    # (Directional finite differences through the tunnel are too noisy and
+    # repeated same-program dispatches get content-cached — see CLAUDE.md.)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from difffacto_tpu.ops.fused_core_train import _drop_mask
+
+    tile = 256
+
+    def mask_export_kernel(seed_ref, m1_ref, m2_ref):
+        b, n = pl.program_id(0), pl.program_id(1)
+        for i in range(depth):
+            m1_ref[i, 0] = _drop_mask(seed_ref, b, n, i, 0, (tile, Dt), p)
+            m2_ref[i, 0] = _drop_mask(seed_ref, b, n, i, 1, (tile, inner), p)
+
+    m1, m2 = pl.pallas_call(
+        mask_export_kernel,
+        grid=(Bt, Nt // tile),
+        in_specs=[pl.BlockSpec((1, 1), lambda b, n: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=[
+            pl.BlockSpec((depth, 1, tile, Dt), lambda b, n: (0, b, n, 0)),
+            pl.BlockSpec((depth, 1, tile, inner), lambda b, n: (0, b, n, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((depth, Bt, Nt, Dt), jnp.float32),
+            jax.ShapeDtypeStruct((depth, Bt, Nt, inner), jnp.float32),
+        ],
+    )(jnp.full((1, 1), 7, jnp.int32))
+    drop_frac = float((np.asarray(m1) == 0).mean())
+    print(f"exported mask drop fraction: {drop_frac:.4f} (expect ~{p})")
+
+    def ln_f(v, s, bb):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + 1e-5) * s + bb
+
+    def ref_trunk(xx, pr):
+        h = ln_f(xx, pr["pre_scale"], pr["pre_bias"])
+        for i in range(depth):
+            hq = ln_f(h, pr["n2_scale"][i], pr["n2_bias"][i])
+            q = hq @ pr["wq"][i]
+            s = jnp.einsum("bnd,bdg->bng", q, k_bd[i]) * (dh**-0.5)
+            c = jax.lax.stop_gradient(jnp.max(s, -1, keepdims=True))
+            e = jnp.exp(s - c)
+            den = jnp.einsum("bng,gk->bnk", e, gsum)
+            w = e / jnp.maximum(den, 1e-30)
+            attn = jnp.einsum("bng,bgd->bnd", w, v_bd[i])
+            o = (attn @ pr["wout"][i] + pr["bout"][i]) * m1[i]
+            h = h + o
+            h2 = ln_f(h, pr["ff_scale"][i], pr["ff_bias"][i])
+            hg = h2 @ pr["w1"][i] + pr["b1"][i]
+            a, g = jnp.split(hg, 2, axis=-1)
+            act = a * jax.nn.gelu(g) * m2[i]
+            h = h + act @ pr["w2"][i] + pr["b2"][i]
+        return ln_f(h, pr["post_scale"], pr["post_bias"])
+
+    @jax.jit
+    def both_grads(pr, xx):
+        def loss_k(pr_, xx_):
+            y = fused_trunk_train_call(
+                jnp.full((1, 1), 7, jnp.int32), xx_, k_bd, v_bd, lane_mask,
+                gsum, *[pr_[k] for k in order], scale=dh**-0.5, tile=tile,
+                dropout_p=p,
+            )
+            return jnp.sum(y * cot), y
+
+        def loss_r(pr_, xx_):
+            y = ref_trunk(xx_, pr_)
+            return jnp.sum(y * cot), y
+
+        (_, yk), gk = jax.value_and_grad(loss_k, argnums=(0, 1), has_aux=True)(pr, xx)
+        (_, yr), gr = jax.value_and_grad(loss_r, argnums=(0, 1), has_aux=True)(pr, xx)
+        return yk, yr, gk, gr
+
+    pr = dict(params)
+    yk, yr, (gpk, gxk), (gpr, gxr) = both_grads(pr, x)
+    yerr = float(jnp.abs(yk - yr).max())
+    # the exported masks are already scaled by 1/(1-p) inside _drop_mask
+    print(f"fwd kernel-vs-XLA(masked) max abs err: {yerr:.5f} "
+          f"(|y|max={float(jnp.abs(yr).max()):.2f})")
+    gx_err = float(jnp.abs(gxk - gxr).max() / (jnp.abs(gxr).max() + 1e-9))
+    print(f"dx rel err: {gx_err:.6f}")
+    worst = 0.0
+    for kname in order:
+        e = float(jnp.abs(gpk[kname] - gpr[kname]).max()
+                  / (jnp.abs(gpr[kname]).max() + 1e-9))
+        worst = max(worst, e)
+        if e > 3e-3:
+            print(f"  param grad mismatch {kname}: rel {e:.5f}")
+    print(f"worst param-grad rel err: {worst:.6f}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        train_check()
+    else:
+        main()
