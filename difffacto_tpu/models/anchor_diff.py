@@ -452,10 +452,24 @@ def decode(
     noise=None,
     ret_traj: Optional[bool] = None,
     ret_interval: Optional[int] = None,
+    mesh=None,
 ):
-    """Reverse diffusion chain (anchor_gen.py:145-169) as one lax.scan program."""
+    """Reverse diffusion chain (anchor_gen.py:145-169) as one lax.scan program.
+
+    With ``mesh`` (>1 device) and ``ret_traj=False``, the chain runs under
+    ``shard_map`` over the 'data' axis: generation is embarrassingly parallel
+    over the batch, each device runs its local shard through the Pallas trunk
+    kernel (which a plain-GSPMD custom call would not partition), and the rng
+    is folded per device so shards draw independent noise.
+    """
     ret_traj = model.ret_traj if ret_traj is None else ret_traj
     ret_interval = model.ret_interval if ret_interval is None else ret_interval
+    use_shard = (
+        mesh is not None
+        and getattr(mesh, "size", 1) > 1
+        and not ret_traj
+        and anchors.shape[0] % mesh.size == 0  # shard_map needs even shards
+    )
 
     def build():
         diff = build_diffusion(model.diffusion, model.num_timesteps)
@@ -474,9 +488,31 @@ def decode(
                 ret_interval=ret_interval,
             )
 
-        return run
+        if not use_shard:
+            return run
 
-    fn = _cached_jit(("decode", id(model), ret_traj, ret_interval), build, model)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def local_run(variables, rng, *args):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            return run(variables, rng, *args)
+
+        return shard_map(
+            local_run,
+            mesh=mesh,
+            in_specs=(P(), P()) + (P(axis),) * 6,
+            out_specs={"pred": P(axis)},
+            check_vma=False,
+        )
+
+    fn = _cached_jit(
+        ("decode", id(model), ret_traj, ret_interval, id(mesh) if use_shard else None),
+        build,
+        (model, mesh),
+    )
     return fn(variables, rng, anchors, ctx, variance, seg_mask, valid_id, noise)
 
 
@@ -489,6 +525,7 @@ def sample_generation(
     fixed_id=None,
     epoch: int = 0,
     ret_traj: bool = False,
+    mesh=None,
 ):
     """Unconditional generation (anchor_gen.py:1034-1084): flow prior ->
     aligner (K CIMLE hypotheses) -> reverse chain. Returns dict with 'pred'
@@ -525,6 +562,7 @@ def sample_generation(
         seg_mask=seg_mask,
         valid_id=vid,
         ret_traj=ret_traj,
+        mesh=mesh,
     )
     out.update(
         seg_mask=seg_mask, valid_id=vid, anchors=mean_pp, variance=var_pp, latents=latents

@@ -54,6 +54,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     trainable_filter: Optional[Callable[[Tuple[str, ...]], bool]] = None,
     donate: bool = True,
+    mesh=None,
 ):
     """Build the jitted train step.
 
@@ -61,9 +62,21 @@ def make_train_step(
     (reference's train_aligner / train_cvae param groups, runner.py:76-94) by
     zeroing their gradients — optimizer state stays uniform so checkpoints
     are interchangeable between stages.
+
+    With ``mesh`` (>1 device), the step runs under ``shard_map`` over the
+    'data' axis: the batch is device-local, gradients are ``psum``-averaged
+    over ICI, batch-norm statistics are ``pmean``-synced (SyncBN semantics),
+    and the parameter update replays identically on every device. This is
+    the multi-chip path — Pallas kernels inside the step see only their
+    device-local shard, so no GSPMD partitioning of the custom calls is
+    needed (a pallas_call under plain GSPMD would be gathered/replicated).
     """
 
-    def step_fn(state: TrainState, batch, rng, epoch):
+    def step_fn(state: TrainState, batch, rng, epoch, axis_name=None):
+        if axis_name is not None:
+            # per-device noise streams; params stay replicated because the
+            # psum'd grads make the update identical everywhere
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         rng_sample, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -84,6 +97,12 @@ def make_train_step(
         (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            total = jax.lax.pmean(total, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+            if new_stats:
+                new_stats = jax.lax.pmean(new_stats, axis_name)
         if trainable_filter is not None:
             grads = jax.tree_util.tree_map_with_path(
                 lambda path, g: g
@@ -103,7 +122,27 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    data = P(axis)
+    rep = P()
+
+    def local_step(state, batch, rng, epoch):
+        return step_fn(state, batch, rng, epoch, axis_name=axis)
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(rep, data, rep, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
 def init_train_state(model: AnchorDiffAE, tx, batch, seed: int = 0) -> TrainState:

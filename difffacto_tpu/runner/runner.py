@@ -119,13 +119,18 @@ class Runner:
             max_norm=self.max_norm,
             lr_scale_fn=lr_scale_fn,
         )
-        self._step_fn = make_train_step(self.model, self.tx, trainable_filter=trainable_filter)
         # data mesh over the largest device count that divides the batch size
         bs = int(cfgdict(cfg.dataset.train)["batch_size"])
         n_dev = len(jax.devices())
         while n_dev > 1 and bs % n_dev != 0:
             n_dev -= 1
         self.mesh = make_mesh(jax.devices()[:n_dev])
+        # >1 device: shard_map step (device-local Pallas kernels, psum'd
+        # grads over ICI); single device: plain jit.
+        self._step_fn = make_train_step(
+            self.model, self.tx, trainable_filter=trainable_filter,
+            mesh=self.mesh if n_dev > 1 else None,
+        )
 
         # state init from one example batch (subclasses override _init_variables
         # to touch their extra submodules)
@@ -270,6 +275,7 @@ class Runner:
                 fixed_id=jnp.asarray(fixed),
                 epoch=self.epoch,
                 ret_traj=self.model.ret_traj,
+                mesh=self.mesh if self.mesh.size > 1 else None,
             )
             name = "gen_fixed" + "".join(map(lambda i: str(int(i)), fixed))
         else:
@@ -356,6 +362,7 @@ class Runner:
                 b,
                 valid_id=jnp.asarray(presence),
                 epoch=self.epoch,
+                mesh=self.mesh if self.mesh.size > 1 else None,
             )
             K = self.model.cimle_sample_num if self.model.cimle else 1
             p = np.asarray(out["pred"]).reshape(b, K, -1, 3)[:, 0]

@@ -60,6 +60,67 @@ def test_train_step_sharded_batch():
     assert int(state1.step) == 1
 
 
+def test_train_step_shard_map():
+    """mesh path: shard_map step with device-local batch, psum'd grads.
+
+    This is the multi-chip structure that keeps Pallas kernels device-local
+    (a pallas_call under plain GSPMD would not partition)."""
+    mesh = make_mesh()
+    model, variables, _ = init_model(B=8)
+    batch = tiny_batch(B=8)
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3), max_norm=10.0)
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    state = jax.tree_util.tree_map(lambda x: replicate(mesh, x), state)
+    sbatch = shard_batch(mesh, batch)
+    step = make_train_step(model, tx, donate=False, mesh=mesh)
+    state1, metrics = step(state, sbatch, jax.random.PRNGKey(0), 0)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state1.step) == 1
+    d = jax.tree_util.tree_map(
+        lambda a, b: jnp.abs(a - b).sum(), state.params, state1.params
+    )
+    assert sum(float(x) for x in jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_train_step_shard_map_with_kernel(monkeypatch):
+    """shard_map + the REAL Pallas train-kernel pair (interpret mode):
+    proves the custom-VJP trunk runs device-local under the mesh."""
+    monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+    mesh = make_mesh()
+    # d_head=16 x n_heads=8 -> inner=128: kernel-eligible
+    cfg = tiny_model_cfg()
+    cfg["diffusion"]["net"]["n_heads"] = 8
+    cfg["diffusion"]["net"]["d_head"] = 16
+    model = AnchorDiffAE(**cfg)
+    batch = tiny_batch(B=8)
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, 0, method=AnchorDiffAE.loss)
+    )(rngs, batch)
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3), max_norm=10.0)
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    state = jax.tree_util.tree_map(lambda x: replicate(mesh, x), state)
+    sbatch = shard_batch(mesh, batch)
+    step = make_train_step(model, tx, donate=False, mesh=mesh)
+    state1, metrics = step(state, sbatch, jax.random.PRNGKey(0), 0)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # sharded generation through the decode shard_map path + eval kernel
+    from difffacto_tpu.models import sample_generation
+
+    out = sample_generation(
+        model, state1.variables(), jax.random.PRNGKey(3), 8,
+        valid_id=jnp.ones((8, 4)), mesh=mesh,
+    )
+    assert out["pred"].shape[0] == 8 * model.cimle_sample_num
+    assert np.isfinite(np.asarray(out["pred"])).all()
+
+
 def test_trainable_filter_freezes():
     """train_aligner mode: only aligner params move (runner.py:76-94)."""
     model, variables, batch = init_model()
