@@ -232,8 +232,12 @@ def _trunk_train_bwd_kernel(depth, dropout_p, *refs):
         if dropout_p > 0.0:
             m2 = _drop_mask(seed_ref, b, n, i, 1, act.shape, dropout_p)
             act = act * m2
-        d_act = jnp.dot(d, w2_ref[i].T, preferred_element_type=jnp.float32)
-        dw2_p[i] = jnp.dot(act.T.astype(jnp.float32), d,
+        # matmul inputs in the compute dtype (f32 accumulation): mixed
+        # f32xbf16 dots would run at the f32 MXU rate and erase the bf16
+        # speedup (measured: bf16 bwd == f32 bwd before this cast)
+        d_c = d.astype(cdt)
+        d_act = jnp.dot(d_c, w2_ref[i].T, preferred_element_type=jnp.float32)
+        dw2_p[i] = jnp.dot(act.T.astype(cdt), d_c,
                            preferred_element_type=jnp.float32)
         db2_p[i] = jnp.sum(d, axis=0, keepdims=True)
         if dropout_p > 0.0:
@@ -243,7 +247,7 @@ def _trunk_train_bwd_kernel(depth, dropout_p, *refs):
         dhg = jnp.concatenate([da, dg], axis=-1)
         dh2 = jnp.dot(dhg.astype(cdt), w1_ref[i].T,
                       preferred_element_type=jnp.float32)
-        dw1_p[i] = jnp.dot(h2.T.astype(jnp.float32), dhg,
+        dw1_p[i] = jnp.dot(h2.T, dhg.astype(cdt),
                            preferred_element_type=jnp.float32)
         db1_p[i] = jnp.sum(dhg, axis=0, keepdims=True)
         dup_ln, dffs_p[i], dffb_p[i] = _ln_bwd(up, ffs_ref[i], dh2)
@@ -260,7 +264,7 @@ def _trunk_train_bwd_kernel(depth, dropout_p, *refs):
             d_o = d_o * m1
         d_attn = jnp.dot(d_o.astype(cdt), wout_ref[i].T,
                          preferred_element_type=jnp.float32)
-        dwout_p[i] = jnp.dot(attn.T.astype(jnp.float32), d_o,
+        dwout_p[i] = jnp.dot(attn.T, d_o.astype(cdt),
                              preferred_element_type=jnp.float32)
         dbout_p[i] = jnp.sum(d_o, axis=0, keepdims=True)
         dw_soft = jnp.dot(d_attn.astype(cdt), vbd_ref[i, 0].T,
@@ -271,11 +275,11 @@ def _trunk_train_bwd_kernel(depth, dropout_p, *refs):
         ds = w * (dw_soft - t_)
         dq = jnp.dot(ds.astype(cdt), kbd_ref[i, 0].T,
                      preferred_element_type=jnp.float32) * scale
-        dkbd_p[i] = jnp.dot(q.T.astype(jnp.float32), ds,
+        dkbd_p[i] = jnp.dot(q.T, ds.astype(cdt),
                             preferred_element_type=jnp.float32) * scale
         dh = jnp.dot(dq.astype(cdt), wq_ref[i].T,
                      preferred_element_type=jnp.float32)
-        dwq_p[i] = jnp.dot(h.T.astype(jnp.float32), dq,
+        dwq_p[i] = jnp.dot(h.T, dq.astype(cdt),
                            preferred_element_type=jnp.float32)
         du_ln, dn2s_p[i], dn2b_p[i] = _ln_bwd(u, n2s_ref[i], dh)
         d = dup + du_ln
