@@ -7,8 +7,10 @@ python double loop over pairwise distances (:143-200) replaced by batched
 device programs: one jitted (1 sample) x (R chunk) Chamfer/EMD evaluation,
 scanned over samples.
 
-EMD uses the eval-accuracy auction settings eps=0.002, iters=10000
-(metrics/emd/README.md) with early exit on convergence.
+EMD impl is selected by ops/emd.py:emd_cost_eval — on TPU the Pallas
+Sinkhorn-warm-started auction (ops/emd_pallas.py, ~10^2 dense iterations);
+elsewhere the XLA auction at the reference eval settings eps=0.002,
+iters=10000 (metrics/emd/README.md) with early exit on convergence.
 """
 
 from __future__ import annotations
@@ -38,31 +40,53 @@ def _to_np(x):
 # --------------------------------------------------------------- pairwise
 _PAIRWISE_KERNELS = {}
 
+# Rows of the pairwise matrix computed per device dispatch. Each dispatch
+# scans its rows (and ref chunks within a row) in ONE compiled program:
+# per-chunk dispatches pay tunnel/launch overhead thousands of times and
+# single-dispatch-per-protocol runs risk worker watchdog limits.
+PAIRWISE_ROWS = int(_os.environ.get("DIFFFACTO_PAIRWISE_ROWS", 4))
+
 
 def _get_pairwise_kernel(compute_emd: bool):
-    """Module-cached jitted (1 sample) x (ref chunk) CD/EMD kernel — a fresh
-    closure per call would retrace/recompile every pairwise sweep."""
+    """Module-cached jitted (row block) x (all refs) CD/EMD kernel: a scan
+    over rows, each row scanning ref chunks — a fresh closure per call would
+    retrace/recompile every pairwise sweep."""
     fn = _PAIRWISE_KERNELS.get(compute_emd)
     if fn is not None:
         return fn
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def one_vs_chunk(s, s_mask, ref_chunk, ref_mask_chunk):
-        sb = jnp.broadcast_to(s[None], ref_chunk.shape)
-        dl, dr = chamfer_split(sb, ref_chunk)
-        dl_mean = (dl * s_mask[None]).sum(1) / s_mask.sum()
-        dr_mean = (dr * ref_mask_chunk).sum(1) / ref_mask_chunk.sum(1)
-        cd = dl_mean + dr_mean
-        if compute_emd:
-            e = emd_cost(sb, ref_chunk, EMD_EPS, EMD_ITERS)
-        else:
-            e = jnp.zeros_like(cd)
-        return cd, e
+    from ..ops.emd import emd_cost_eval
 
-    _PAIRWISE_KERNELS[compute_emd] = one_vs_chunk
-    return one_vs_chunk
+    @jax.jit
+    def rows_vs_refs(sample_rows, mask_rows, ref_c, refm_c):
+        """(Sc, N, 3) x (Rc, chunk, N, 3) -> cd/emd (Sc, Rc*chunk)."""
+
+        def row(carry, sm):
+            s, s_mask = sm
+
+            def chunk(c2, rc):
+                refs, refms = rc
+                sb = jnp.broadcast_to(s[None], refs.shape)
+                dl, dr = chamfer_split(sb, refs)
+                dl_mean = (dl * s_mask[None]).sum(1) / s_mask.sum()
+                dr_mean = (dr * refms).sum(1) / refms.sum(1)
+                cd = dl_mean + dr_mean
+                if compute_emd:
+                    e = emd_cost_eval(sb, refs, EMD_EPS, EMD_ITERS)
+                else:
+                    e = jnp.zeros_like(cd)
+                return c2, (cd, e)
+
+            _, (cds, es) = jax.lax.scan(chunk, 0, (ref_c, refm_c))
+            return carry, (cds.reshape(-1), es.reshape(-1))
+
+        _, (cd_rows, emd_rows) = jax.lax.scan(row, 0, (sample_rows, mask_rows))
+        return cd_rows, emd_rows
+
+    _PAIRWISE_KERNELS[compute_emd] = rows_vs_refs
+    return rows_vs_refs
 
 
 def pairwise_cd_emd(
@@ -86,7 +110,7 @@ def pairwise_cd_emd(
     S, N, _ = sample.shape
     R = ref.shape[0]
 
-    one_vs_chunk = _get_pairwise_kernel(compute_emd)
+    rows_vs_refs = _get_pairwise_kernel(compute_emd)
 
     sample_j = jnp.asarray(sample, jnp.float32)
     ref_j = jnp.asarray(ref, jnp.float32)
@@ -102,26 +126,37 @@ def pairwise_cd_emd(
     )
 
     # pad ref to a multiple of batch_size so every chunk compiles once
+    # (modular indexing: the pad may exceed R when R < batch_size)
     pad = (-R) % batch_size
     if pad:
-        ref_j = jnp.concatenate([ref_j, ref_j[:pad]], axis=0)
-        mr = jnp.concatenate([mr, mr[:pad]], axis=0)
+        idx = jnp.arange(R + pad) % R
+        ref_j = ref_j[idx]
+        mr = mr[idx]
     Rp = ref_j.shape[0]
+    ref_c = ref_j.reshape(Rp // batch_size, batch_size, N, 3)
+    refm_c = mr.reshape(Rp // batch_size, batch_size, N)
 
-    cd_rows, emd_rows = [], []
-    for i in range(S):
-        cds, emds = [], []
-        for c in range(0, Rp, batch_size):
-            cd, e = one_vs_chunk(
-                sample_j[i], ms[i], ref_j[c : c + batch_size], mr[c : c + batch_size]
-            )
-            cds.append(cd)
-            emds.append(e)
-        cd_rows.append(np.concatenate([_to_np(x) for x in cds])[:R])
-        emd_rows.append(np.concatenate([_to_np(x) for x in emds])[:R])
-        if verbose and (i + 1) % 50 == 0:
-            print(f"pairwise {i + 1}/{S}")
-    return np.stack(cd_rows), np.stack(emd_rows)
+    # pad samples to a multiple of the per-dispatch row block
+    rows = max(1, PAIRWISE_ROWS)
+    spad = (-S) % rows
+    if spad:
+        sidx = jnp.arange(S + spad) % S
+        sample_j = sample_j[sidx]
+        ms = ms[sidx]
+    Sp = sample_j.shape[0]
+
+    cd_blocks, emd_blocks = [], []
+    for i in range(0, Sp, rows):
+        cd, e = rows_vs_refs(
+            sample_j[i : i + rows], ms[i : i + rows], ref_c, refm_c
+        )
+        cd_blocks.append(_to_np(cd))
+        emd_blocks.append(_to_np(e))
+        if verbose and (i + rows) % max(rows, 50 - 50 % rows) == 0:
+            print(f"pairwise {min(i + rows, S)}/{S}")
+    cd_all = np.concatenate(cd_blocks)[:S, :R]
+    emd_all = np.concatenate(emd_blocks)[:S, :R]
+    return cd_all, emd_all
 
 
 # ------------------------------------------------------------------ 1-NNA

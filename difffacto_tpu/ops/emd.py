@@ -150,3 +150,38 @@ def emd_cost(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iters: in
     """Mean L2 matched distance per cloud -> (B,). Reference's ``EMD(dist_only=True)``."""
     dist, _ = emd(xyz1, xyz2, eps, iters)
     return jnp.sqrt(jnp.maximum(dist, 0.0)).mean(axis=1)
+
+
+def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iters: int = 10000) -> jnp.ndarray:
+    """Eval-grade EMD cost with implementation selection.
+
+    ``DIFFFACTO_EMD_IMPL``:
+      * ``hybrid`` (default on TPU) — the Pallas Sinkhorn-warm-started
+        auction (ops/emd_pallas.py): O(10^2) dense iterations instead of the
+        reference's 10^4, lands within ~0.5% of the optimal matching while
+        the reference's own force-assign tail puts it in a similar band.
+      * ``auction`` (default off-TPU) — the XLA while_loop auction with the
+        reference knobs (eps/iters), exact behavioral parity.
+    """
+    import os
+
+    impl = os.environ.get("DIFFFACTO_EMD_IMPL", "")
+    n = xyz1.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = os.environ.get("DIFFFACTO_PALLAS_INTERPRET", "") == "1"
+    use_hybrid = (
+        impl == "hybrid" or (impl == "" and on_tpu)
+    ) and n % 128 == 0 and (on_tpu or interpret)
+    if use_hybrid:
+        from .emd_pallas import emd_assignment_hybrid
+
+        assignment = emd_assignment_hybrid(
+            xyz1, xyz2, eps=eps, interpret=not on_tpu,
+            sinkhorn_iters=int(os.environ.get("DIFFFACTO_EMD_SINKHORN_ITERS", 150)),
+            auction_iters=int(os.environ.get("DIFFFACTO_EMD_AUCTION_ITERS", 150)),
+        )
+        matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
+        return jnp.sqrt(
+            jnp.maximum(jnp.sum((xyz1 - matched) ** 2, axis=-1), 0.0)
+        ).mean(axis=1)
+    return emd_cost(xyz1, xyz2, eps, iters)

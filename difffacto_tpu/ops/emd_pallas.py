@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: fast eval-grade EMD via Sinkhorn-warm-started auction.
+
+WHY. The reference evaluates EMD with a CUDA auction at eps=0.002 /
+iters=10000 (reference: python/difffacto/metrics/emd/emd_cuda.cu:23-284,
+datasets/evaluation_utils.py:84-89). Its per-iteration cost shrinks with the
+unassigned set, so the >10^3-iteration convergence tail is cheap on a GPU.
+A dense TPU formulation pays O(n^2) EVERY iteration — the XLA auction in
+ops/emd.py measures ~0.5-0.7 s/pair at eval settings (and 10^4-iteration
+single dispatches can outlive the device-tunnel watchdog). The 400-shape
+generation protocol needs ~480k pairs: days, vs tens of minutes for the
+reference. This kernel restores the balance with a TPU-native algorithm:
+
+1. **Annealed log-domain Sinkhorn** (~150 fixed iterations, eps annealed
+   0.05 -> 0.002): two tiled passes over the cost matrix per iteration, all
+   VMEM-resident, distances recomputed from xyz on the MXU (25 MFLOP — far
+   cheaper than storing an f32 (n,n) matrix that wouldn't fit VMEM).
+   Produces near-optimal dual prices.
+2. **Dense auction mop-up** (<= ~300 iterations, eps=0.002) warm-started
+   from the Sinkhorn prices: the same bid/accept semantics as the reference
+   CUDA auction, converging in O(10^2) iterations instead of O(10^4)
+   because prices start eps-close to optimal. Stragglers after the budget
+   are force-assigned to their best object exactly like the reference's
+   final iteration (emd_cuda.cu Assign 'last' flag).
+
+Accuracy (vs exact Hungarian, random 512-pt clouds): hybrid lands within
+-0.6%..+0.06% of the optimal matching cost; the reference auction's own
+force-assign tail puts it in a similar band from below. Validated in
+tests/test_ops.py (interpret mode vs scipy) and tools/tpu_emd_check.py.
+
+Mosaic shapes the implementation: no 1D concatenate (per-point state lives
+in (1, n) VMEM scratch refs written through ref slices), no powf (annealing
+uses exp/ln), and python-unrolled tile loops each get their own stack
+transients (blowing the 16 MB VMEM budget), so every tile sweep is a
+``fori_loop`` with dynamic ``pl.ds`` slices. The kernel emits the ASSIGNMENT
+only; matched distances and the custom-VJP glue stay in ops/emd.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+
+
+def _emd_hybrid_kernel(
+    n, tile, sinkhorn_iters, sinkhorn_inner, auction_iters, eps_final,
+    eps_start, eps_decay,
+    x1_ref, x2t_ref, sq1_ref, sq2_ref, out_ref,
+    f_s, g_s, price_s, assign_s, owner_s, winval_s, winrow_s, m_s, sum_s,
+):
+    """One pair per grid step. x1 (1, n, 8) f32 (xyz padded), x2t (1, 8, n),
+    sq1/sq2 (1, 1, n); out (1, 1, n) int32 assignment. Scratch: (1, n)."""
+    nt = n // tile
+    f32 = jnp.float32
+
+    def dist_tile(t):
+        """L2 distances for row tile t (traced index): (tile, n), f32."""
+        x1t = x1_ref[0, pl.ds(t * tile, tile), :]              # (tile, 8)
+        cross = jnp.dot(
+            x1t, x2t_ref[0], preferred_element_type=f32
+        )                                                       # (tile, n)
+        sq1t = sq1_ref[0, 0, pl.ds(t * tile, tile)]            # (tile,)
+        d2 = sq1t[:, None] + sq2_ref[0, 0][None, :] - 2.0 * cross
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    lane_i32 = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+    row_i32 = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 0)
+
+    # ------------------------------------------------ phase 1: sinkhorn
+    g_s[...] = jnp.zeros((1, n), f32)
+
+    def sink_body(k, carry):
+        # powf doesn't legalize in Mosaic: decay^level = exp(level*ln(decay))
+        level = (k // sinkhorn_inner).astype(f32)
+        eps = jnp.maximum(
+            eps_start * jnp.exp(level * math.log(eps_decay)), eps_final
+        )
+
+        def row_t(t, c):
+            z = (g_s[...] - dist_tile(t)) / eps                # (tile, n)
+            zm = jnp.max(z, axis=1, keepdims=True)
+            f_s[0, pl.ds(t * tile, tile)] = -eps * (
+                jnp.log(jnp.sum(jnp.exp(z - zm), axis=1)) + zm[:, 0]
+            )
+            return c
+
+        jax.lax.fori_loop(0, nt, row_t, 0)
+
+        m_s[...] = jnp.full((1, n), _NEG, f32)
+        sum_s[...] = jnp.zeros((1, n), f32)
+
+        def col_t(t, c):
+            ft = f_s[0, pl.ds(t * tile, tile)]                 # (tile,)
+            z = (ft[:, None] - dist_tile(t)) / eps             # (tile, n)
+            tm = jnp.max(z, axis=0, keepdims=True)             # (1, n)
+            m = m_s[...]
+            nm = jnp.maximum(m, tm)
+            sum_s[...] = sum_s[...] * jnp.exp(m - nm) + jnp.sum(
+                jnp.exp(z - nm), axis=0, keepdims=True
+            )
+            m_s[...] = nm
+            return c
+
+        jax.lax.fori_loop(0, nt, col_t, 0)
+        g_s[...] = -eps * (jnp.log(jnp.maximum(sum_s[...], 1e-30)) + m_s[...])
+        return carry
+
+    jax.lax.fori_loop(0, sinkhorn_iters, sink_body, jnp.int32(0))
+
+    # --------------------------------------- phase 2: auction mop-up
+    # auction value = -d - price; warm start price = -g.
+    eps = eps_final
+    price_s[...] = -g_s[...]
+    assign_s[...] = jnp.full((1, n), -1, jnp.int32)
+    owner_s[...] = jnp.full((1, n), -1, jnp.int32)
+
+    def bid_t(t, c):
+        """Fused sweep step: per-point best/better/inc for tile t, folded
+        into the per-object winner accumulators winval_s/winrow_s."""
+        value = -dist_tile(t) - price_s[...]                   # (tile, n)
+        best = jnp.max(value, axis=1, keepdims=True)
+        bid = jnp.min(jnp.where(value >= best, lane_i32, n), axis=1)
+        masked = jnp.where(lane_i32 == bid[:, None], _NEG, value)
+        better = jnp.max(masked, axis=1)
+        inc = best[:, 0] - better + eps                        # (tile,)
+        unass = assign_s[0, pl.ds(t * tile, tile)] < 0
+        cand = jnp.where(unass, inc, _NEG)
+        M = jnp.where(lane_i32 == bid[:, None], cand[:, None], _NEG)
+        tmax = jnp.max(M, axis=0, keepdims=True)               # (1, n)
+        targ = jnp.min(jnp.where(M >= tmax, row_i32, n), axis=0, keepdims=True)
+        upd = tmax > winval_s[...]
+        winrow_s[...] = jnp.where(upd, targ + t * tile, winrow_s[...])
+        winval_s[...] = jnp.where(upd, tmax, winval_s[...])
+        return c
+
+    def upd_t(t, n_unass):
+        """Per-point update for tile t: claim won objects, evict owners."""
+        win_row = winrow_s[...]
+        taken = winval_s[...] > _NEG / 2
+        rows = row_i32 + t * tile                              # global ids
+        wmatch = jnp.logical_and(win_row == rows, taken)
+        newj = jnp.max(jnp.where(wmatch, lane_i32, -1), axis=1)  # (tile,)
+        omatch = jnp.logical_and(owner_s[...] == rows, taken)
+        evict = jnp.max(jnp.where(omatch, 1, 0), axis=1)
+        cur = assign_s[0, pl.ds(t * tile, tile)]
+        cur = jnp.where(evict > 0, -1, cur)
+        cur = jnp.where(newj >= 0, newj, cur)
+        assign_s[0, pl.ds(t * tile, tile)] = cur
+        return n_unass + jnp.sum((cur < 0).astype(jnp.int32))
+
+    def auc_cond(st):
+        it, n_unass = st
+        return jnp.logical_and(it < auction_iters, n_unass > 0)
+
+    def auc_body(st):
+        it, _ = st
+        winval_s[...] = jnp.full((1, n), _NEG, jnp.float32)
+        winrow_s[...] = jnp.full((1, n), n, jnp.int32)
+        jax.lax.fori_loop(0, nt, bid_t, 0)
+        taken = winval_s[...] > _NEG / 2
+        price_s[...] = price_s[...] + jnp.where(taken, winval_s[...], 0.0)
+        n_unass = jax.lax.fori_loop(0, nt, upd_t, jnp.int32(0))
+        owner_s[...] = jnp.where(taken, winrow_s[...], owner_s[...])
+        return it + 1, n_unass
+
+    jax.lax.while_loop(auc_cond, auc_body, (jnp.int32(0), jnp.int32(n)))
+
+    # force-assign stragglers to their best object (reference 'last' flag)
+    def force_t(t, c):
+        value = -dist_tile(t) - price_s[...]
+        best = jnp.max(value, axis=1, keepdims=True)
+        bid = jnp.min(jnp.where(value >= best, lane_i32, n), axis=1)
+        cur = assign_s[0, pl.ds(t * tile, tile)]
+        out_ref[0, 0, pl.ds(t * tile, tile)] = jnp.where(cur < 0, bid, cur)
+        return c
+
+    jax.lax.fori_loop(0, nt, force_t, 0)
+
+
+def emd_assignment_hybrid(
+    xyz1: jnp.ndarray,
+    xyz2: jnp.ndarray,
+    *,
+    sinkhorn_iters: int = 150,
+    sinkhorn_inner: int = 30,
+    auction_iters: int = 300,
+    eps: float = 0.002,
+    eps_start: float = 0.05,
+    eps_decay: float = 0.4,
+    tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, n, 3) x (B, n, 3) -> assignment (B, n) int32 (x1 point -> x2 index).
+
+    n must be a multiple of ``tile`` (reference constraint: n % 1024 == 0,
+    emd_module.py:41).
+    """
+    B, n, _ = xyz1.shape
+    if n % tile != 0:
+        t = tile
+        while t >= 128 and n % t != 0:
+            t //= 2
+        tile = t if n % t == 0 else n
+    f32 = jnp.float32
+    pad = jnp.zeros((B, n, 5), f32)
+    x1 = jnp.concatenate([xyz1.astype(f32), pad], axis=-1)        # (B, n, 8)
+    x2 = jnp.concatenate([xyz2.astype(f32), pad], axis=-1)
+    x2t = jnp.swapaxes(x2, 1, 2)                                   # (B, 8, n)
+    sq1 = jnp.sum(xyz1.astype(f32) ** 2, axis=-1)[:, None]         # (B, 1, n)
+    sq2 = jnp.sum(xyz2.astype(f32) ** 2, axis=-1)[:, None]
+
+    kernel = functools.partial(
+        _emd_hybrid_kernel, n, tile, sinkhorn_iters, sinkhorn_inner,
+        auction_iters, eps, eps_start, eps_decay,
+    )
+    vec_f32 = pltpu.VMEM((1, n), f32)
+    vec_i32 = pltpu.VMEM((1, n), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, 8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.int32),
+        scratch_shapes=[
+            vec_f32, vec_f32, vec_f32, vec_i32, vec_i32,
+            vec_f32, vec_i32, vec_f32, vec_f32,
+        ],
+        interpret=interpret,
+    )(x1, x2t, sq1, sq2)[:, 0]

@@ -308,6 +308,48 @@ class TestFusedDenoiserCore:
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
 
+class TestEMDHybrid:
+    """Pallas Sinkhorn+auction EMD kernel (ops/emd_pallas.py) in interpret
+    mode: the assignment must be bijective and its cost within a fraction of
+    a percent of the exact Hungarian optimum."""
+
+    def test_matches_hungarian(self):
+        from scipy.optimize import linear_sum_assignment
+
+        from difffacto_tpu.ops.emd_pallas import emd_assignment_hybrid
+
+        rng = np.random.RandomState(11)
+        B, n = 2, 256
+        a = rng.randn(B, n, 3).astype(np.float32) * 0.3
+        b = rng.randn(B, n, 3).astype(np.float32) * 0.3
+        assign = np.asarray(
+            emd_assignment_hybrid(
+                jnp.asarray(a), jnp.asarray(b), tile=128, interpret=True
+            )
+        )
+        for i in range(B):
+            d = np.sqrt(((a[i][:, None] - b[i][None]) ** 2).sum(-1))
+            ri, ci = linear_sum_assignment(d)
+            opt = d[ri, ci].mean()
+            got = d[np.arange(n), assign[i]].mean()
+            assert n - len(np.unique(assign[i])) == 0, "not bijective"
+            assert got <= opt * 1.01, f"cost {got} vs optimal {opt}"
+
+    def test_emd_cost_eval_routing(self, monkeypatch):
+        """emd_cost_eval with DIFFFACTO_EMD_IMPL=hybrid (interpret) agrees
+        with the auction implementation to metric accuracy."""
+        from difffacto_tpu.ops.emd import emd_cost_eval
+
+        rng = np.random.RandomState(12)
+        a = jnp.asarray(rng.randn(2, 256, 3) * 0.3, jnp.float32)
+        b = jnp.asarray(rng.randn(2, 256, 3) * 0.3, jnp.float32)
+        auction = np.asarray(emd_cost_eval(a, b, 0.002, 1500))
+        monkeypatch.setenv("DIFFFACTO_EMD_IMPL", "hybrid")
+        monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+        hybrid = np.asarray(emd_cost_eval(a, b, 0.002, 1500))
+        np.testing.assert_allclose(hybrid, auction, rtol=0.03)
+
+
 class TestFusedTrunkTrain:
     """The training trunk kernel pair (ops/fused_core_train.py) must match
     the unfused module path in BOTH directions: forward values and gradients
