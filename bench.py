@@ -28,6 +28,10 @@ ITERS = 3
 
 def main():
     import jax
+
+    from difffacto_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _model_cfg

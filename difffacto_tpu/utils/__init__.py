@@ -18,3 +18,25 @@ from .registry import (
     SEGMENTORS,
     build_from_cfg,
 )
+
+
+def enable_compile_cache(path: str = None):
+    """Enable JAX's persistent compilation cache for CLI entry points.
+
+    First compiles through the device tunnel take minutes (the whole-trunk
+    kernels and scan-of-pallas metric programs are large); caching them cuts
+    repeat-run startup to seconds. Opt-out: DIFFFACTO_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("DIFFFACTO_NO_COMPILE_CACHE", "") == "1":
+        return
+    import jax
+
+    path = path or os.environ.get(
+        "DIFFFACTO_COMPILE_CACHE", os.path.expanduser("~/.cache/difffacto_jax")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -44,6 +44,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from difffacto_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     if args.cpu:
         import jax
 
