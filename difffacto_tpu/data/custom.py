@@ -19,7 +19,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..utils.registry import DATASETS
-from .dataset_utils import DataLoader, pc_norm
+from .dataset_utils import CroppingDataLoader, DataLoader, pc_norm
 
 
 class CustomDatasetImpl:
@@ -269,3 +269,90 @@ def PartglotTriplet(batch_size, path, shuffle=True, drop_last=False,
                     distributed=False, **_):
     ds = _PartglotTripletDataset(path)
     return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+
+
+@DATASETS.register_module()
+def ShapeNetPart(batch_size, root, npoints, num_workers=0, scale_mode=None,
+                 eval_mode="ae", distributed=False, shuffle=True,
+                 drop_last=True, n_class=4, **kwargs):
+    """Reference alias (shapenet_parts.py:15-27): builds the pre-packed
+    tensor dataset from ``root``. The reference factory quirkily returns the
+    bare dataset; here it follows the uniform (loader, sampler) contract."""
+    return ShapeNetParts(
+        batch_size, root, npoints=npoints, n_class=n_class, shuffle=shuffle,
+        drop_last=drop_last, eval_mode=eval_mode,
+        scale_mode=scale_mode or "shape_unit", **kwargs,
+    )
+
+
+class _ShapeNet55(object):
+    """ShapeNet-55 whole-cloud completion dataset (shapenet55.py:42-120):
+    ``root/{split}.txt`` lists ``taxonomy-model.npy`` files living in
+    ``root/../shapenet_pc``; each is an (N, 3) cloud, subsampled to npoints
+    and pc_norm'ed."""
+
+    def __init__(self, root, npoints, split, scale_mode="shape_unit", seed=0):
+        list_file = os.path.join(root, f"{split}.txt")
+        with open(list_file) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        parent = os.path.dirname(os.path.abspath(root))
+        self.files = [os.path.join(parent, "shapenet_pc", ln) for ln in lines]
+        self.npoints = npoints
+        self.scale_mode = scale_mode
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.files)
+
+    def set_epoch(self, epoch):
+        self._rng = np.random.RandomState(epoch)
+
+    def __getitem__(self, index):
+        pts = np.load(self.files[index]).astype(np.float32)
+        if pts.shape[0] >= self.npoints:
+            sel = self._rng.choice(pts.shape[0], self.npoints, replace=False)
+        else:
+            sel = self._rng.choice(pts.shape[0], self.npoints, replace=True)
+        pts = pts[sel]
+        pts, shift, scale = pc_norm(pts, self.scale_mode)
+        return {
+            "input": pts.astype(np.float32),
+            "ref": pts.astype(np.float32),
+            "seg_mask": np.zeros((self.npoints,), np.int32),
+            "ref_seg_mask": np.zeros((self.npoints,), np.int32),
+            "present": np.ones((1,), np.float32),
+            "shift": shift.astype(np.float32),
+            "scale": np.asarray(scale, np.float32).reshape(1, 1),
+            "id": np.int64(index),
+        }
+
+    def evaluate(self, results, save_num_batch, device=None):
+        from ..metrics.eval import evaluate_batches
+
+        return evaluate_batches(results, save_num_batch, eval_mode="ae")
+
+
+@DATASETS.register_module()
+def ShapeNet(batch_size, root, npoints, split, crop=(0.25, 0.75),
+             num_workers=0, scale_mode="shape_unit", mode="median", loss=None,
+             distributed=False, shuffle=True, cats=("all",), **kwargs):
+    """ShapeNet-55 completion loader (shapenet55.py:12-40): whole clouds plus
+    device-side partial/missing cropping via CroppingDataLoader."""
+    frac = {"easy": 0.25, "median": 0.5, "hard": 0.75, "complete": 1.0}[mode]
+    if split == "test":
+        crop_range = int(frac * npoints)
+    elif isinstance(crop, (list, tuple)):
+        crop_range = [int(crop[0] * npoints), int(crop[1] * npoints)]
+    else:
+        crop_range = int(float(crop) * npoints)
+    ds = _ShapeNet55(root, npoints, split, scale_mode=scale_mode)
+    base = DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=True)
+    return CroppingDataLoader(base, crop_range), None
+
+
+# Reference type-string aliases for the super-segment datasets
+# (shapenet_sup_seg.py / shapenet_sup_seg_partglot.py registered names).
+DATASETS.register_module(name="ShapeNetSegSuperSegment", module=ShapeNetSupSeg)
+DATASETS.register_module(
+    name="ShapeNetSegSuperSegmentParglot", module=ShapeNetSupSegPartglot
+)

@@ -1,3 +1,4 @@
+from . import common  # METRICS-registry components (side-effect registration)
 from .eval import (
     compute_all_metrics,
     compute_bbox_metric,

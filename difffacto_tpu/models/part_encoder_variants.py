@@ -232,3 +232,79 @@ class PartEncoderForTransformerDecoderKLLossCIMLE(PartEncoderForTransformerDecod
     sample_noise/best-of-N selection comes from the base PartEncoder."""
 
     pass
+
+
+@ENCODERS.register_module()
+class EncoderWithKLLoss(PartEncoder):
+    """Whole-shape VAE encoder: ONE global latent z (B, zdim) with a flow (or
+    standard-normal) prior, broadcast to every part slot
+    (part_encoders.py:2051-2125). ``encoder`` must be a whole-cloud VAE
+    encoder producing (B, zdim) mean/logvar (e.g. PointNetVAEBase)."""
+
+    def setup(self):
+        from ..utils.registry import build_from_cfg
+        from .flow import PerPartFlow
+
+        # whole-cloud encoder: no per-part heads, so no num_anchors kwarg
+        self.encoder_net = build_from_cfg(dict(self.encoder), ENCODERS, dtype=self.dtype)
+        self.zdim = self.encoder["zdim"]
+        self.aligner = (
+            build_from_cfg(dict(self.part_aligner), ENCODERS, dtype=self.dtype)
+            if self.part_aligner
+            else None
+        )
+        if self.use_flow:
+            # single global flow (reference: build_latent_flow, :2063)
+            self.global_flow = PerPartFlow(
+                n_class=1,
+                depth=self.latent_flow_depth,
+                dim=self.zdim,
+                intermediate_dim=self.latent_flow_hidden_dim,
+                dtype=self.dtype,
+            )
+
+    def sample_flow_prior(self, rng, sample_num):
+        z = jax.random.normal(rng, (sample_num, 1, self.zdim)) * math.sqrt(
+            self.prior_var
+        )
+        if self.use_flow:
+            z = self.global_flow(z, reverse=True)
+        return jnp.broadcast_to(z, (sample_num, self.n_class, self.zdim))
+
+    def __call__(self, batch, noise=None, epoch=-1, train: bool = False):
+        ref = batch["ref"]
+        B, N, _ = ref.shape
+        valid_id = batch.get("present")
+        if valid_id is None:
+            valid_id = jnp.ones((B, self.n_class), ref.dtype)
+        seg_mask = batch["ref_seg_mask"].astype(jnp.int32)
+
+        mean_g, logvar_g = self.encoder_net(ref, train=train)  # (B, zdim) each
+        z = reparameterize_gaussian(self.make_rng("sample"), mean_g, logvar_g)
+
+        # prior loss on the global latent (:2101-2110)
+        if self.use_flow:
+            logpx0 = jnp.zeros((B, 1, 1), z.dtype)
+            w, delta = self.global_flow(z[:, None], logpx0, reverse=False)
+            log_pz = gaussian_log_likelihood(w[:, 0], 0.0, 0.0, dim=self.zdim).sum(-1) - delta[:, 0, 0]
+        else:
+            log_pz = gaussian_log_likelihood(z, 0.0, 0.0, dim=self.zdim).sum(-1)
+        entropy = gaussian_entropy(logvar_g, axis=-1)
+        loss_dict = {"prior_loss": self.kl_weight * (-log_pz - entropy).mean()}
+
+        part_code = jnp.broadcast_to(
+            z[:, None], (B, self.n_class, self.zdim)
+        )
+        mean, logvar = self.get_params_from_part_code(part_code, valid_id, noise=noise)
+        mean_pp, logvar_pp, flag_pp = self.gather_all(
+            seg_mask, anchors=mean, variances=logvar, valid_id=valid_id
+        )
+        if train and self.aligner is not None:
+            fit = -gaussian_log_likelihood(ref, mean_pp, logvar_pp).mean(
+                -1
+            ) * flag_pp
+            loss_dict["fit_loss"] = (
+                self.fit_loss_weight * fit.sum() / jnp.maximum(flag_pp.sum(), 1.0)
+            )
+        ctx = self.prepare_ctx(part_code, mean, logvar, seg_mask=seg_mask)
+        return ctx, mean_pp, logvar_pp, flag_pp, loss_dict, [part_code, mean, logvar, noise]

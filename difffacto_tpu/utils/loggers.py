@@ -92,3 +92,9 @@ class RunLogger:
     def print_log(self, msg: str):
         self.text.print_log(msg)
         print(f"[{current_time()}] {msg}", flush=True)
+
+
+# Reference registers the sub-loggers too (loggers.py:8-35); TensorboardLogger
+# maps to ScalarLogger (JSONL + optional TB backend).
+HOOKS.register_module(name="TextLogger", module=TextLogger)
+HOOKS.register_module(name="TensorboardLogger", module=ScalarLogger)

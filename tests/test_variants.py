@@ -88,3 +88,96 @@ def test_part_encoder_cvae():
         mutable=["batch_stats", "intermediates"],
     )
     assert np.isfinite(float(np.mean(losses["mse_loss"])))
+
+
+def test_registry_covers_all_reference_type_strings():
+    """Every `type` string registrable in the reference must resolve here —
+    the config-compatibility contract (SURVEY.md section 7 design stance)."""
+    import difffacto_tpu.data, difffacto_tpu.metrics, difffacto_tpu.models  # noqa
+    import difffacto_tpu.parallel.optim, difffacto_tpu.runner  # noqa
+    import difffacto_tpu.utils.loggers  # noqa
+    from difffacto_tpu.utils import registry as R
+
+    ours = set()
+    for name in dir(R):
+        obj = getattr(R, name)
+        if isinstance(obj, R.Registry):
+            ours |= set(obj.modules.keys())
+    # reference grep: all @<REGISTRY>.register_module() decorated names
+    reference_names = """
+    Adam AdamW Adamax Aligner AnchorDiffAE AnchorDiffGenPartglot
+    AnchorDiffGenSuperSegments AnchoredDiffusion AnchoredGeneration
+    ChamferDistanceL1 ChamferDistanceL2 ChamferDistanceL2_split CoarsePCN
+    ComponentMixer ComponentMixerV2 CosineAnnealingLRWithWarmUp CrossEntropy
+    CustomDataset CustomStepLR DiffuCompletion Discriminator DiscriminatorcGan
+    EMD EncoderWithKLLoss Generator L1Loss L2Loss LDM LDMNet LSTM
+    LatentDiffEdit LatentDiffusionDrift LatentLanguageFuser LinearLR
+    MeanVarianceRegressor MultiHeadCrossAttention
+    NegativeGaussianLogLikelihood PCN PDM ParameterTrainer PartAligner
+    PartAlignerCIMLE PartAlignerTransformer PartCodeTransformer
+    PartCodeTransformerV2 PartEncoder PartEncoderCIMLE PartEncoderForPartnet
+    PartEncoderForPartnetAndTransformerDecoder PartEncoderForTransformerDecoder
+    PartEncoderForTransformerDecoderCIMLE PartEncoderForTransformerDecoderKLLoss
+    PartEncoderForTransformerDecoderKLLossCIMLE PartEncoderNoMixer
+    PartEncoderVAE PartEncoderWithKLLoss PartEncodercVAE PartEncodercVAE2
+    PartLanguageSelector PartLatentEditor PartglotClassifier PartglotFinetune
+    PartglotSupSegsEncoderWithCBN Partnet Pnet2Stage PointDiffusion PointFlow
+    PointNet PointNet2MSG PointNet2SSG PointNetDenseCls PointNetV2
+    PointNetV2VAE PointNetV2Variant PointNetV3 PointNetVAE PointNetVAEBase
+    PointwiseNet PointwiseNet2 PointwiseNetLatent RunLogger ShapeNet
+    ShapeNetPart ShapeNetParts ShapeNetSeg ShapeNetSegPart
+    ShapeNetSegSuperSegment ShapeNetSegSuperSegmentParglot SmoothCrossEntropy
+    SpectralContrastiveLoss SupSegsEncoder TensorboardLogger TextLogger
+    TransformerNet UNet Uniform dis_loss gen_loss gradient_penalty
+    """.split()
+    missing = sorted(set(reference_names) - ours)
+    assert not missing, f"reference type strings without a registration: {missing}"
+
+
+def test_encoder_with_kl_loss_forward_and_sampling():
+    """EncoderWithKLLoss (part_encoders.py:2051-2125): global latent VAE."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from difffacto_tpu.utils.registry import ENCODERS, build_from_cfg
+
+    cfg = dict(
+        type="EncoderWithKLLoss",
+        encoder=dict(type="PointNetVAEBase", zdim=16, point_dim=3),
+        part_aligner=dict(
+            type="PartAlignerTransformer", in_channels=16, out_channels=6,
+            n_class=4, d_head=8, depth=1, n_heads=2, dropout=0.0,
+            use_linear=True, class_cond=True, single_attn=True,
+            add_class_cond=True, cimle=False, noise_scale=1,
+        ),
+        n_class=4, use_flow=True, latent_flow_depth=2,
+        latent_flow_hidden_dim=16, kl_weight=1e-3, gen=True,
+        include_part_code=True, include_params=True, include_z=False,
+    )
+    enc = build_from_cfg(cfg, ENCODERS)
+    rng = np.random.RandomState(0)
+    B, N = 2, 32
+    seg = np.repeat(np.arange(4), N // 4)[None].repeat(B, 0)
+    batch = {
+        "ref": jnp.asarray(rng.randn(B, N, 3), jnp.float32),
+        "ref_seg_mask": jnp.asarray(seg, jnp.int32),
+        "present": jnp.ones((B, 4), jnp.float32),
+    }
+    variables = enc.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch, train=True,
+    )
+    (ctx, mean_pp, logvar_pp, flag_pp, losses, _), _mut = enc.apply(
+        variables, batch, train=True, rngs={"sample": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert mean_pp.shape == (B, N, 3)
+    assert "prior_loss" in losses and "fit_loss" in losses
+    assert np.isfinite(float(losses["prior_loss"]))
+
+    out = enc.apply(
+        variables, 2, N, method=type(enc).sample_latents,
+        rngs={"sample": jax.random.PRNGKey(3)},
+    )
+    assert out[1].shape == (2, N, 3)  # mean_pp
