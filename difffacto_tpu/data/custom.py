@@ -322,7 +322,7 @@ class _ShapeNet55(object):
             "ref_seg_mask": np.zeros((self.npoints,), np.int32),
             "present": np.ones((1,), np.float32),
             "shift": shift.astype(np.float32),
-            "scale": np.asarray(scale, np.float32).reshape(1, 1),
+            "scale": np.asarray(scale, np.float32),
             "id": np.int64(index),
         }
 
@@ -335,7 +335,8 @@ class _ShapeNet55(object):
 @DATASETS.register_module()
 def ShapeNet(batch_size, root, npoints, split, crop=(0.25, 0.75),
              num_workers=0, scale_mode="shape_unit", mode="median", loss=None,
-             distributed=False, shuffle=True, cats=("all",), **kwargs):
+             distributed=False, shuffle=True, cats=("all",), drop_last=None,
+             **kwargs):
     """ShapeNet-55 completion loader (shapenet55.py:12-40): whole clouds plus
     device-side partial/missing cropping via CroppingDataLoader."""
     frac = {"easy": 0.25, "median": 0.5, "hard": 0.75, "complete": 1.0}[mode]
@@ -346,7 +347,9 @@ def ShapeNet(batch_size, root, npoints, split, crop=(0.25, 0.75),
     else:
         crop_range = int(float(crop) * npoints)
     ds = _ShapeNet55(root, npoints, split, scale_mode=scale_mode)
-    base = DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=True)
+    if drop_last is None:
+        drop_last = split != "test"  # never drop eval shapes
+    base = DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last)
     return CroppingDataLoader(base, crop_range), None
 
 

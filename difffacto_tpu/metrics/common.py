@@ -120,7 +120,9 @@ class SmoothCrossEntropy:
 
 @METRICS.register_module()
 class NegativeGaussianLogLikelihood:
-    """(common.py:124-141)."""
+    """(common.py:124-141). Parity quirk kept: with an array ``var`` and
+    reduction="mean", the per-sample var_term is NOT averaged (the reference
+    returns the same non-scalar shape)."""
 
     def __init__(self, dim=3, reduction="mean"):
         self.dim = dim
@@ -159,6 +161,9 @@ class CrossEntropy:
 
 @METRICS.register_module()
 class L2Loss:
+    """``var`` is accepted and ignored exactly like the reference
+    (common.py:159-168)."""
+
     def __init__(self, reduction="mean"):
         self.reduction = reduction
 

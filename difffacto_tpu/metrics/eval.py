@@ -21,7 +21,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..ops.chamfer import chamfer_split
-from ..ops.emd import emd_cost
+from ..ops.emd import emd_cost_eval
 from ..ops.points import fps, gather_points_nd
 from .iou import aabb_iou
 
@@ -273,7 +273,7 @@ def emd_cd_paired(sample_pcs, ref_pcs, batch_size: int = 32, reduced: bool = Tru
         rb = jnp.asarray(ref_pcs[s : s + batch_size], jnp.float32)
         dl, dr = chamfer_split(sb, rb)
         cds.append(_to_np(dl.mean(1) + dr.mean(1)))
-        emds.append(_to_np(emd_cost(sb, rb, EMD_EPS, EMD_ITERS)))
+        emds.append(_to_np(emd_cost_eval(sb, rb, EMD_EPS, EMD_ITERS)))
     cd = np.concatenate(cds)
     emd = np.concatenate(emds)
     if reduced:

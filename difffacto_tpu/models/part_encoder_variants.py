@@ -264,9 +264,10 @@ class EncoderWithKLLoss(PartEncoder):
             )
 
     def sample_flow_prior(self, rng, sample_num):
-        z = jax.random.normal(rng, (sample_num, 1, self.zdim)) * math.sqrt(
-            self.prior_var
-        )
+        # reference samples z ~ N(0, 1) (part_encoders.py:2069) and the
+        # training prior below is standard-normal too — prior_var is NOT
+        # applied in this variant, matching the reference exactly
+        z = jax.random.normal(rng, (sample_num, 1, self.zdim))
         if self.use_flow:
             z = self.global_flow(z, reverse=True)
         return jnp.broadcast_to(z, (sample_num, self.n_class, self.zdim))
@@ -290,7 +291,8 @@ class EncoderWithKLLoss(PartEncoder):
         else:
             log_pz = gaussian_log_likelihood(z, 0.0, 0.0, dim=self.zdim).sum(-1)
         entropy = gaussian_entropy(logvar_g, axis=-1)
-        loss_dict = {"prior_loss": self.kl_weight * (-log_pz - entropy).mean()}
+        kl_w = self._kl_weight(epoch)
+        loss_dict = {"prior_loss": kl_w * (-log_pz - entropy).mean()}
 
         part_code = jnp.broadcast_to(
             z[:, None], (B, self.n_class, self.zdim)
