@@ -36,7 +36,17 @@ class CouplingLayer(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(self.intermediate_dim, dtype=self.dtype)(h)
         h = nn.relu(h)
-        s_t = nn.Dense(out_dim * 2, dtype=self.dtype)(h)
+        # Glow-style zero init of the s/t head: every coupling layer starts as
+        # a fixed affine map (scale=sigmoid(2), shift=0), so the UNTRAINED
+        # inverse stays finite. The reference's torch-default init makes the
+        # 14-layer untrained inverse overflow to inf/NaN (geometric blow-up of
+        # 1/sigmoid terms); trained behavior is unaffected and torch-checkpoint
+        # ingestion overwrites these params. Deliberate init-only delta.
+        s_t = nn.Dense(
+            out_dim * 2,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(h)
         scale = jax.nn.sigmoid(s_t[:, :out_dim] + 2.0)
         shift = s_t[:, out_dim:]
         logdetjac = jnp.sum(jnp.log(scale), axis=1, keepdims=True)
