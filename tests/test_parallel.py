@@ -121,6 +121,132 @@ def test_train_step_shard_map_with_kernel(monkeypatch):
     assert np.isfinite(np.asarray(out["pred"])).all()
 
 
+def test_shard_map_step_matches_manual_dp_math():
+    """shard_map step == hand-computed data-parallel math (heterogeneous shards).
+
+    Reference DDP semantics (reference runner.py:61-73): same model, split
+    batch, allreduce-averaged grads, one identical update everywhere. Here we
+    recompute each device's grads by hand with the same folded rng streams,
+    average them, apply one optimizer update, and require the shard_map step
+    to reproduce loss, grad-norm, params, and batch-stats numerically."""
+    import optax
+
+    from difffacto_tpu.parallel.train import TrainState, parse_losses
+
+    mesh = make_mesh()
+    model, variables, _ = init_model(B=8)
+    batch = tiny_batch(B=8, rng=np.random.RandomState(7))  # all 8 shards differ
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3), max_norm=10.0)
+    state = TrainState.create(variables, tx)
+    rstate = jax.tree_util.tree_map(lambda x: replicate(mesh, x), state)
+    sbatch = shard_batch(mesh, batch)
+    step = make_train_step(model, tx, donate=False, mesh=mesh)
+    state_s, metrics_s = step(rstate, sbatch, jax.random.PRNGKey(0), 0)
+
+    # Manual per-device replay of the exact step_fn semantics.
+    def local_loss(params, lbatch, rng_d):
+        rng_sample, rng_dropout = jax.random.split(
+            jax.random.fold_in(rng_d, state.step)
+        )
+        variables_d = {"params": params}
+        if state.batch_stats:
+            variables_d["batch_stats"] = state.batch_stats
+        outs, mutated = model.apply(
+            variables_d,
+            lbatch,
+            0,
+            method=AnchorDiffAE.loss,
+            rngs={"sample": rng_sample, "dropout": rng_dropout},
+            mutable=["batch_stats"],
+        )
+        total, means = parse_losses(outs)
+        return total, (means, mutated.get("batch_stats", {}))
+
+    grad_fn = jax.jit(jax.value_and_grad(local_loss, has_aux=True))
+    totals, all_grads, all_stats = [], [], []
+    for d in range(8):
+        lbatch = {k: v[d : d + 1] for k, v in batch.items()}
+        rng_d = jax.random.fold_in(jax.random.PRNGKey(0), d)
+        (tot, (_, stats)), grads = grad_fn(state.params, lbatch, rng_d)
+        totals.append(float(tot))
+        all_grads.append(grads)
+        all_stats.append(stats)
+
+    avg = lambda trees: jax.tree_util.tree_map(lambda *a: sum(a) / len(a), *trees)
+    grads_m = avg(all_grads)
+    total_m = float(np.mean(totals))
+    updates, _ = tx.update(grads_m, state.opt_state, state.params)
+    params_m = optax.apply_updates(state.params, updates)
+
+    assert np.isclose(float(metrics_s["total_loss"]), total_m, rtol=1e-5)
+    assert np.isclose(
+        float(metrics_s["grad_norm"]), float(optax.global_norm(grads_m)), rtol=1e-5
+    )
+    flat_s = jax.tree_util.tree_flatten_with_path(state_s.params)[0]
+    flat_m = jax.tree_util.tree_flatten_with_path(params_m)[0]
+    for (path, a), (_, b) in zip(flat_s, flat_m):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    if all_stats[0]:
+        stats_m = avg(all_stats)
+        flat_ss = jax.tree_util.tree_flatten_with_path(state_s.batch_stats)[0]
+        flat_sm = jax.tree_util.tree_flatten_with_path(stats_m)[0]
+        for (path, a), (_, b) in zip(flat_ss, flat_sm):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+
+def test_decode_sharded_equals_unsharded():
+    """Sharded decode == unsharded decode, bit-comparable.
+
+    DDIM with eta=0 plus an explicit x_T makes the reverse chain fully
+    deterministic, so the per-device rng fold in the shard_map path is
+    irrelevant and the two paths must agree numerically."""
+    from difffacto_tpu.models import sample_generation
+    from difffacto_tpu.models.anchor_diff import decode
+
+    mesh = make_mesh()
+    cfg = tiny_model_cfg()
+    cfg["diffusion"]["ddim_sampling"] = True
+    cfg["diffusion"]["ddim_eta"] = 0.0
+    cfg["diffusion"]["ddim_nsteps"] = 5  # == tiny T
+    model = AnchorDiffAE(**cfg)
+    batch = tiny_batch(B=2)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sample": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, 0, method=AnchorDiffAE.loss)
+    )(rngs, batch)
+
+    # Real latents from the generation path; cimle_sample_num=2 -> B=8.
+    fixed_id = jnp.zeros((model.num_anchors,), jnp.float32)
+    ctx, mean_pp, var_pp, seg_mask, vid, _ = model.apply(
+        variables, 4, fixed_id, jnp.ones((4, 4), jnp.float32), 0,
+        method=AnchorDiffAE.prepare_generation,
+        rngs={"sample": jax.random.PRNGKey(5)},
+    )
+    x_T = jax.random.normal(jax.random.PRNGKey(6), mean_pp.shape, jnp.float32)
+
+    kw = dict(
+        ctx=ctx, variance=var_pp, seg_mask=seg_mask, valid_id=vid,
+        noise=x_T, ret_traj=False,
+    )
+    out1 = decode(model, variables, jax.random.PRNGKey(7), mean_pp, **kw)
+    out8 = decode(
+        model, variables, jax.random.PRNGKey(8), mean_pp, mesh=mesh, **kw
+    )
+    a, b = np.asarray(out1["pred"]), np.asarray(out8["pred"])
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_trainable_filter_freezes():
     """train_aligner mode: only aligner params move (runner.py:76-94)."""
     model, variables, batch = init_model()
