@@ -291,11 +291,24 @@ class _ShapeNet55(object):
     ``root/../shapenet_pc``; each is an (N, 3) cloud, subsampled to npoints
     and pc_norm'ed."""
 
-    def __init__(self, root, npoints, split, scale_mode="shape_unit", seed=0):
+    def __init__(self, root, npoints, split, scale_mode="shape_unit", seed=0,
+                 cats=("all",)):
+        from .dataset_utils import shapenet55_id_to_cat
+
+        if "all" in cats:
+            cats = tuple(shapenet55_id_to_cat.values())
+        for cat in cats:
+            assert cat in shapenet55_id_to_cat.values(), f"Unknown category {cat!r}"
         list_file = os.path.join(root, f"{split}.txt")
         with open(list_file) as f:
             lines = [ln.strip() for ln in f if ln.strip()]
         parent = os.path.dirname(os.path.abspath(root))
+        # Category filter by taxonomy-id prefix (shapenet55.py:64-73):
+        # each line is "<taxonomy_id>-<model_id>.npy".
+        lines = [
+            ln for ln in lines
+            if shapenet55_id_to_cat.get(ln.split("-")[0]) in cats
+        ]
         self.files = [os.path.join(parent, "shapenet_pc", ln) for ln in lines]
         self.npoints = npoints
         self.scale_mode = scale_mode
@@ -346,7 +359,7 @@ def ShapeNet(batch_size, root, npoints, split, crop=(0.25, 0.75),
         crop_range = [int(crop[0] * npoints), int(crop[1] * npoints)]
     else:
         crop_range = int(float(crop) * npoints)
-    ds = _ShapeNet55(root, npoints, split, scale_mode=scale_mode)
+    ds = _ShapeNet55(root, npoints, split, scale_mode=scale_mode, cats=tuple(cats))
     if drop_last is None:
         drop_last = split != "test"  # never drop eval shapes
     base = DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last)

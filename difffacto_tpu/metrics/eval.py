@@ -50,14 +50,21 @@ PAIRWISE_ROWS = int(_os.environ.get("DIFFFACTO_PAIRWISE_ROWS", 4))
 def _get_pairwise_kernel(compute_emd: bool):
     """Module-cached jitted (row block) x (all refs) CD/EMD kernel: a scan
     over rows, each row scanning ref chunks — a fresh closure per call would
-    retrace/recompile every pairwise sweep."""
-    fn = _PAIRWISE_KERNELS.get(compute_emd)
-    if fn is not None:
-        return fn
+    retrace/recompile every pairwise sweep.
+
+    The cache key includes the RESOLVED eval-EMD configuration
+    (impl + iteration knobs): ``emd_cost_eval`` reads its env vars at trace
+    time, so without this, toggling DIFFFACTO_EMD_IMPL / *_ITERS after the
+    first sweep in a process would silently keep the old behavior."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.emd import emd_cost_eval
+    from ..ops.emd import emd_cost_eval, resolved_emd_eval_config
+
+    key = (compute_emd, resolved_emd_eval_config() if compute_emd else None)
+    fn = _PAIRWISE_KERNELS.get(key)
+    if fn is not None:
+        return fn
 
     @jax.jit
     def rows_vs_refs(sample_rows, mask_rows, ref_c, refm_c):
@@ -85,7 +92,7 @@ def _get_pairwise_kernel(compute_emd: bool):
         _, (cd_rows, emd_rows) = jax.lax.scan(row, 0, (sample_rows, mask_rows))
         return cd_rows, emd_rows
 
-    _PAIRWISE_KERNELS[compute_emd] = rows_vs_refs
+    _PAIRWISE_KERNELS[key] = rows_vs_refs
     return rows_vs_refs
 
 

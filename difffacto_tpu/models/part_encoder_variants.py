@@ -305,8 +305,14 @@ class EncoderWithKLLoss(PartEncoder):
             fit = -gaussian_log_likelihood(ref, mean_pp, logvar_pp).mean(
                 -1
             ) * flag_pp
+            # Per-sample ratio, then (via parse_losses) the batch mean —
+            # reference reduces sum(-1,-2)/flag.sum(-1,-2) PER SAMPLE
+            # (part_encoders.py:2120-2121), which differs from a global
+            # ratio whenever part-presence counts vary across the batch.
             loss_dict["fit_loss"] = (
-                self.fit_loss_weight * fit.sum() / jnp.maximum(flag_pp.sum(), 1.0)
+                self.fit_loss_weight
+                * fit.sum(-1)
+                / jnp.maximum(flag_pp.sum(-1), 1.0)
             )
         ctx = self.prepare_ctx(part_code, mean, logvar, seg_mask=seg_mask)
         return ctx, mean_pp, logvar_pp, flag_pp, loss_dict, [part_code, mean, logvar, noise]

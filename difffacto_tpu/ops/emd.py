@@ -31,6 +31,7 @@ the reference backward (NmDistanceGradKernel).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -152,6 +153,34 @@ def emd_cost(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iters: in
     return jnp.sqrt(jnp.maximum(dist, 0.0)).mean(axis=1)
 
 
+def resolved_emd_eval_config(n: Optional[int] = None):
+    """Resolve the eval-EMD implementation knobs from the environment.
+
+    Returns ``(impl, sinkhorn_iters, auction_iters, interpret)`` where impl
+    is 'hybrid' or 'auction'. Centralized so callers that jit-and-cache
+    around ``emd_cost_eval`` (metrics/eval.py) can key their caches on the
+    *resolved* configuration — env-var changes after a first sweep then
+    correctly produce a fresh trace instead of silently reusing the old one.
+    """
+    import os
+
+    impl = os.environ.get("DIFFFACTO_EMD_IMPL", "")
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = os.environ.get("DIFFFACTO_PALLAS_INTERPRET", "") == "1"
+    use_hybrid = (
+        impl == "hybrid" or (impl == "" and on_tpu)
+    ) and (n is None or n % 128 == 0) and (on_tpu or interpret)
+    return (
+        "hybrid" if use_hybrid else "auction",
+        int(os.environ.get("DIFFFACTO_EMD_SINKHORN_ITERS", 150)),
+        int(os.environ.get("DIFFFACTO_EMD_AUCTION_ITERS", 150)),
+        not on_tpu,  # hybrid off-TPU only runs in interpret mode
+    )
+
+
+_HYBRID_NOTICE_SHOWN = False
+
+
 def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iters: int = 10000) -> jnp.ndarray:
     """Eval-grade EMD cost with implementation selection.
 
@@ -163,22 +192,25 @@ def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iter
       * ``auction`` (default off-TPU) — the XLA while_loop auction with the
         reference knobs (eps/iters), exact behavioral parity.
     """
-    import os
-
-    impl = os.environ.get("DIFFFACTO_EMD_IMPL", "")
-    n = xyz1.shape[1]
-    on_tpu = jax.default_backend() == "tpu"
-    interpret = os.environ.get("DIFFFACTO_PALLAS_INTERPRET", "") == "1"
-    use_hybrid = (
-        impl == "hybrid" or (impl == "" and on_tpu)
-    ) and n % 128 == 0 and (on_tpu or interpret)
-    if use_hybrid:
+    impl, sinkhorn_iters, auction_iters, interpret = resolved_emd_eval_config(
+        xyz1.shape[1]
+    )
+    if impl == "hybrid":
+        global _HYBRID_NOTICE_SHOWN
+        if not _HYBRID_NOTICE_SHOWN:
+            _HYBRID_NOTICE_SHOWN = True
+            print(
+                "[difffacto_tpu] eval EMD: Pallas Sinkhorn+auction hybrid "
+                "(~50x faster; reads up to ~2% higher than the reference's "
+                "force-assign-biased CUDA auction). Set "
+                "DIFFFACTO_EMD_IMPL=auction for exact reference parity."
+            )
         from .emd_pallas import emd_assignment_hybrid
 
         assignment = emd_assignment_hybrid(
-            xyz1, xyz2, eps=eps, interpret=not on_tpu,
-            sinkhorn_iters=int(os.environ.get("DIFFFACTO_EMD_SINKHORN_ITERS", 150)),
-            auction_iters=int(os.environ.get("DIFFFACTO_EMD_AUCTION_ITERS", 150)),
+            xyz1, xyz2, eps=eps, interpret=interpret,
+            sinkhorn_iters=sinkhorn_iters,
+            auction_iters=auction_iters,
         )
         matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
         return jnp.sqrt(

@@ -305,3 +305,33 @@ def test_shapenet55_completion_loader(tmp_path):
     batch = next(iter(loader))
     assert batch["input"].shape == (2, 128, 3)
     assert "partial" in batch and "missing" in batch
+
+
+def test_shapenet55_category_filter(tmp_path):
+    """cats= filters the file list by taxonomy id (shapenet55.py:64-73);
+    unknown category names assert."""
+    import numpy as np
+    import pytest
+
+    from difffacto_tpu.data.custom import _ShapeNet55
+
+    root = tmp_path / "ShapeNet55"
+    pc_dir = tmp_path / "shapenet_pc"
+    root.mkdir(); pc_dir.mkdir()
+    rng = np.random.RandomState(0)
+    names = []
+    for tax, n in (("02691156", 3), ("03001627", 2)):  # airplane, chair
+        for i in range(n):
+            nm = f"{tax}-model{i}.npy"
+            np.save(pc_dir / nm, rng.randn(300, 3).astype(np.float32))
+            names.append(nm)
+    (root / "train.txt").write_text("\n".join(names))
+
+    assert len(_ShapeNet55(str(root), 128, "train").files) == 5
+    assert len(_ShapeNet55(str(root), 128, "train", cats=("chair",)).files) == 2
+    assert (
+        len(_ShapeNet55(str(root), 128, "train", cats=("airplane", "chair")).files)
+        == 5
+    )
+    with pytest.raises(AssertionError, match="Unknown category"):
+        _ShapeNet55(str(root), 128, "train", cats=("spaceship",))
