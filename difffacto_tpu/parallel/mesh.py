@@ -70,15 +70,20 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
     from the environment and can all be None.
     """
     if num_processes is not None and num_processes <= 1:
-        return
+        return False
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+        return True
+    except (ValueError, RuntimeError) as e:
+        # Single process (no coordinator in the environment) or already
+        # initialized — continue single-host, but say so instead of
+        # swallowing the reason.
+        print(f"[difffacto_tpu] multi-host init skipped: {e}")
+        return False
 
 
 def pmean_metrics(metrics, mesh: Optional[Mesh] = None):

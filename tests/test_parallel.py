@@ -247,6 +247,31 @@ def test_decode_sharded_equals_unsharded():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_launcher_flag_and_initialize_distributed():
+    """--launcher wiring (reference run_net.py:11-15): single-process init is
+    a logged no-op, and the CLI accepts the launcher/sync_bn/local_rank
+    surface."""
+    import os
+    import subprocess
+    import sys
+
+    from difffacto_tpu.parallel import initialize_distributed
+
+    # Explicit single-process: early-out, no jax.distributed call.
+    assert initialize_distributed(num_processes=1) is False
+    # No coordinator in this environment: must not raise, returns False.
+    assert initialize_distributed() is False
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/run_net.py"), "--help"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0
+    for flag in ("--launcher", "--sync_bn", "--local_rank", "--save_dir"):
+        assert flag in out.stdout
+
+
 def test_trainable_filter_freezes():
     """train_aligner mode: only aligner params move (runner.py:76-94)."""
     model, variables, batch = init_model()

@@ -29,6 +29,22 @@ def parse_args():
         "run_pretrain/run_cgan/run_language entry scripts (broken as "
         "shipped, stale anchor_diff imports). 'auto' reads cfg.runner.",
     )
+    p.add_argument(
+        "--launcher",
+        choices=["none", "jax"],
+        default="none",
+        help="job launcher (reference run_net.py:11-15 '--launcher pytorch'); "
+        "'jax' calls jax.distributed.initialize() for multi-host pods — "
+        "coordinator/rank come from the TPU environment. No-op on one host.",
+    )
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument(
+        "--sync_bn",
+        action="store_true",
+        help="accepted for CLI parity; batch-norm statistics are ALWAYS "
+        "pmean-synced across the mesh here (SyncBN by construction).",
+    )
+    p.add_argument("--save_dir", default=".")
     p.add_argument("--prefix", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--deterministic", action="store_true")
@@ -51,6 +67,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.launcher != "none":
+        from difffacto_tpu.parallel import initialize_distributed
+
+        initialize_distributed()
 
     from difffacto_tpu.config import get_cfg, init_cfg
     from difffacto_tpu.runner import (
