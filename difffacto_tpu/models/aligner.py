@@ -107,8 +107,15 @@ class PartAlignerTransformer(nn.Module):
             shift, scale = jnp.split(emb, 2, axis=-1)
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
             h = h * (1.0 + scale[:, None]) + shift[:, None]
-        else:
+        elif not self.cimle:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
+        else:
+            # Reference QUIRK (part_encoders.py:120-137): with cimle=True and
+            # cond_noise_type not in (1, 3) — including the shipped configs'
+            # type 0 — pre_norm is constructed but NEVER APPLIED. Instantiate
+            # it (checkpoints carry its params; XLA DCEs the dead compute)
+            # and skip its output, faithfully.
+            _ = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(h)
 
         for i in range(self.depth):
             h = BasicTransformerBlock(
