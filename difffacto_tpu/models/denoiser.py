@@ -232,13 +232,26 @@ class TransformerNet(nn.Module):
                     else jnp.ones((B, nh * M), cdt)
                 )
                 gsum = jnp.kron(eye, jnp.ones((M, M), cdt))
-                # proj_in/proj_out stay in XLA: fusing them INTO the kernel
-                # (pin_w/pout_w) was measured and regresses e2e 180 -> 143
+                # proj_in/proj_out stay in XLA by default: fusing BOTH into
+                # the kernel was measured and regresses e2e 180 -> 143
                 # shapes/s — the 13-lane input / 6-lane output blocks force
-                # degenerate layouts.
-                h0 = (x.astype(cdt) @ pin_k.astype(cdt) + pin_b.astype(cdt))
-                if t_embed is not None:  # add_t_to_x: bias h0 before the trunk
-                    h0 = h0 + t_embed.astype(cdt)[:, None]
+                # degenerate layouts. A/B knobs (eval path only; t_embed=None):
+                # DIFFFACTO_FUSE_HEAD=1 / DIFFFACTO_FUSE_TAIL=1.
+                fuse_head = (
+                    deterministic
+                    and t_embed is None
+                    and _os.environ.get("DIFFFACTO_FUSE_HEAD", "") == "1"
+                )
+                fuse_tail = (
+                    deterministic
+                    and _os.environ.get("DIFFFACTO_FUSE_TAIL", "") == "1"
+                )
+                if fuse_head:
+                    h0 = x.astype(cdt)
+                else:
+                    h0 = (x.astype(cdt) @ pin_k.astype(cdt) + pin_b.astype(cdt))
+                    if t_embed is not None:  # add_t_to_x: bias h0 pre-trunk
+                        h0 = h0 + t_embed.astype(cdt)[:, None]
                 trunk_args = (
                     h0, k_bd, v_bd, lane_mask, gsum,
                     pre_scale.astype(cdt), pre_bias.astype(cdt),
@@ -254,7 +267,13 @@ class TransformerNet(nn.Module):
                         *trunk_args,
                         dh**-0.5, tile=tile,
                         interpret=jax.default_backend() != "tpu",
+                        pin_w=pin_k.astype(cdt) if fuse_head else None,
+                        pin_b=pin_b.astype(jnp.float32) if fuse_head else None,
+                        pout_w=pout_k.astype(cdt) if fuse_tail else None,
+                        pout_b=pout_b.astype(jnp.float32) if fuse_tail else None,
                     )
+                    if fuse_tail:
+                        return hk.astype(x.dtype)
                 else:
                     if self.dropout > 0.0:
                         seed = jax.random.randint(

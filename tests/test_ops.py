@@ -296,6 +296,23 @@ class TestFusedDenoiserCore:
         y2 = net.apply(var2, *args)
         assert np.abs(np.asarray(y2) - np.asarray(y_ref)).max() > 1e-5
 
+    def test_fused_head_tail_match_module_path(self, monkeypatch):
+        """DIFFFACTO_FUSE_HEAD/TAIL fold proj_in/proj_out into the kernel;
+        the fused variants must match the unfused kernel path exactly."""
+        net, variables, args = self._make()
+        y_ref = net.apply(variables, *args)
+        monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
+        for head, tail in ((True, False), (False, True), (True, True)):
+            monkeypatch.setenv("DIFFFACTO_FUSE_HEAD", "1" if head else "0")
+            monkeypatch.setenv("DIFFFACTO_FUSE_TAIL", "1" if tail else "0")
+            y = net.apply(variables, *args)
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=2e-4,
+                err_msg=f"head={head} tail={tail}",
+            )
+        monkeypatch.setenv("DIFFFACTO_FUSE_HEAD", "0")
+        monkeypatch.setenv("DIFFFACTO_FUSE_TAIL", "0")
+
     def test_masked_part_invariance(self, monkeypatch):
         """Absent part tokens must not influence the output (valid_id mask)."""
         monkeypatch.setenv("DIFFFACTO_PALLAS_INTERPRET", "1")
