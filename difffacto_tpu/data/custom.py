@@ -304,10 +304,12 @@ class _ShapeNet55(object):
             lines = [ln.strip() for ln in f if ln.strip()]
         parent = os.path.dirname(os.path.abspath(root))
         # Category filter by taxonomy-id prefix (shapenet55.py:64-73):
-        # each line is "<taxonomy_id>-<model_id>.npy".
+        # each line is "<taxonomy_id>-<model_id>.npy". Like the reference,
+        # an unknown taxonomy id in the split file raises (KeyError) rather
+        # than silently shrinking the dataset.
         lines = [
             ln for ln in lines
-            if shapenet55_id_to_cat.get(ln.split("-")[0]) in cats
+            if shapenet55_id_to_cat[ln.split("-")[0]] in cats
         ]
         self.files = [os.path.join(parent, "shapenet_pc", ln) for ln in lines]
         self.npoints = npoints

@@ -27,10 +27,16 @@ from .iou import aabb_iou
 
 import os as _os
 
-EMD_EPS = float(_os.environ.get("DIFFFACTO_EMD_EPS", 0.002))
-# Reference eval accuracy: 10000 iters (metrics/emd/README.md). Tunable so
-# CPU test runs can trade accuracy for speed.
-EMD_ITERS = int(_os.environ.get("DIFFFACTO_EMD_ITERS", 10000))
+def EMD_EPS() -> float:
+    return float(_os.environ.get("DIFFFACTO_EMD_EPS", 0.002))
+
+
+def EMD_ITERS() -> int:
+    """Reference eval accuracy: 10000 iters (metrics/emd/README.md). Tunable
+    so CPU test runs can trade accuracy for speed. Read per call (and folded
+    into the pairwise-kernel cache key) so toggling after the first sweep in
+    a process takes effect."""
+    return int(_os.environ.get("DIFFFACTO_EMD_ITERS", 10000))
 
 
 def _to_np(x):
@@ -61,7 +67,10 @@ def _get_pairwise_kernel(compute_emd: bool):
 
     from ..ops.emd import emd_cost_eval, resolved_emd_eval_config
 
-    key = (compute_emd, resolved_emd_eval_config() if compute_emd else None)
+    key = (
+        compute_emd,
+        (resolved_emd_eval_config(), EMD_EPS(), EMD_ITERS()) if compute_emd else None,
+    )
     fn = _PAIRWISE_KERNELS.get(key)
     if fn is not None:
         return fn
@@ -81,7 +90,7 @@ def _get_pairwise_kernel(compute_emd: bool):
                 dr_mean = (dr * refms).sum(1) / refms.sum(1)
                 cd = dl_mean + dr_mean
                 if compute_emd:
-                    e = emd_cost_eval(sb, refs, EMD_EPS, EMD_ITERS)
+                    e = emd_cost_eval(sb, refs, EMD_EPS(), EMD_ITERS())
                 else:
                     e = jnp.zeros_like(cd)
                 return c2, (cd, e)
@@ -280,7 +289,7 @@ def emd_cd_paired(sample_pcs, ref_pcs, batch_size: int = 32, reduced: bool = Tru
         rb = jnp.asarray(ref_pcs[s : s + batch_size], jnp.float32)
         dl, dr = chamfer_split(sb, rb)
         cds.append(_to_np(dl.mean(1) + dr.mean(1)))
-        emds.append(_to_np(emd_cost_eval(sb, rb, EMD_EPS, EMD_ITERS)))
+        emds.append(_to_np(emd_cost_eval(sb, rb, EMD_EPS(), EMD_ITERS())))
     cd = np.concatenate(cds)
     emd = np.concatenate(emds)
     if reduced:

@@ -23,6 +23,7 @@ Everything channel-last; every stochastic draw comes from named flax rngs
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -508,8 +509,22 @@ def decode(
             check_vma=False,
         )
 
+    # The denoiser reads kernel-selection env knobs at TRACE time; key the
+    # cached trace on them so toggling mid-process (A/B runs) takes effect
+    # instead of silently reusing the old program.
+    env_key = tuple(
+        os.environ.get(k, "")
+        for k in (
+            "DIFFFACTO_FUSE_HEAD",
+            "DIFFFACTO_FUSE_TAIL",
+            "DIFFFACTO_PALLAS_INTERPRET",
+        )
+    )
     fn = _cached_jit(
-        ("decode", id(model), ret_traj, ret_interval, id(mesh) if use_shard else None),
+        (
+            "decode", id(model), ret_traj, ret_interval,
+            id(mesh) if use_shard else None, env_key,
+        ),
         build,
         (model, mesh),
     )

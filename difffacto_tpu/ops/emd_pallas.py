@@ -50,14 +50,14 @@ _NEG = -1e9
 
 def _emd_hybrid_kernel(
     n, tile, sinkhorn_iters, sinkhorn_inner, auction_iters, eps_final,
-    eps_start, eps_decay,
+    eps_start, eps_decay, cache_dist,
     x1_ref, x2t_ref, sq1_ref, sq2_ref, out_ref,
     f_s, g_s, price_s, assign_s, owner_s, winval_s, winrow_s, m_s, sum_s,
     dist_s,
 ):
     """One pair per grid step. x1 (1, n, 8) f32 (xyz padded), x2t (1, 8, n),
     sq1/sq2 (1, 1, n); out (1, 1, n) int32 assignment. Scratch: (1, n) vectors
-    plus an (n, n) bf16 distance cache."""
+    plus — when ``cache_dist`` — an (n, n) bf16 distance cache."""
     nt = n // tile
     f32 = jnp.float32
 
@@ -75,19 +75,23 @@ def _emd_hybrid_kernel(
     row_i32 = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 0)
 
     # Distance cache for the sinkhorn phase: computed ONCE in f32 on the MXU,
-    # stored bf16 (n^2/2 bytes; fits VMEM at n=2048). The K=8 dist matmul is
-    # ~6% MXU-efficient, so recomputing it 2x per sinkhorn iteration was the
-    # dominant cost; bf16 (~0.4% relative) is plenty for warm-start prices.
-    # The auction phase below recomputes exact f32 tiles — final matching
-    # accuracy is unchanged.
-    def fill_t(t, c):
-        dist_s[pl.ds(t * tile, tile), :] = dist_tile(t).astype(jnp.bfloat16)
-        return c
+    # stored bf16 (n^2/2 bytes; fits VMEM at n<=2048 — larger clouds keep the
+    # recompute path, see ``cache_dist`` in the launcher). The K=8 dist matmul
+    # is ~6% MXU-efficient, so recomputing it 2x per sinkhorn iteration was
+    # the dominant cost; bf16 (~0.4% relative) is plenty for warm-start
+    # prices. The auction phase below recomputes exact f32 tiles — final
+    # matching accuracy is unchanged.
+    if cache_dist:
+        def fill_t(t, c):
+            dist_s[pl.ds(t * tile, tile), :] = dist_tile(t).astype(jnp.bfloat16)
+            return c
 
-    jax.lax.fori_loop(0, nt, fill_t, 0)
+        jax.lax.fori_loop(0, nt, fill_t, 0)
 
-    def dist_tile_cached(t):
-        return dist_s[pl.ds(t * tile, tile), :].astype(f32)
+        def dist_tile_cached(t):
+            return dist_s[pl.ds(t * tile, tile), :].astype(f32)
+    else:
+        dist_tile_cached = dist_tile
 
     # ------------------------------------------------ phase 1: sinkhorn
     g_s[...] = jnp.zeros((1, n), f32)
@@ -232,9 +236,12 @@ def emd_assignment_hybrid(
     sq1 = jnp.sum(xyz1.astype(f32) ** 2, axis=-1)[:, None]         # (B, 1, n)
     sq2 = jnp.sum(xyz2.astype(f32) ** 2, axis=-1)[:, None]
 
+    # The (n, n) bf16 sinkhorn distance cache only fits VMEM up to n=2048
+    # (8 MB); larger clouds (e.g. 8192-pt car EMD) recompute tiles instead.
+    cache_dist = n <= 2048
     kernel = functools.partial(
         _emd_hybrid_kernel, n, tile, sinkhorn_iters, sinkhorn_inner,
-        auction_iters, eps, eps_start, eps_decay,
+        auction_iters, eps, eps_start, eps_decay, cache_dist,
     )
     vec_f32 = pltpu.VMEM((1, n), f32)
     vec_i32 = pltpu.VMEM((1, n), jnp.int32)
@@ -252,7 +259,7 @@ def emd_assignment_hybrid(
         scratch_shapes=[
             vec_f32, vec_f32, vec_f32, vec_i32, vec_i32,
             vec_f32, vec_i32, vec_f32, vec_f32,
-            pltpu.VMEM((n, n), jnp.bfloat16),
+            pltpu.VMEM((n, n) if cache_dist else (8, 128), jnp.bfloat16),
         ],
         interpret=interpret,
     )(x1, x2t, sq1, sq2)[:, 0]

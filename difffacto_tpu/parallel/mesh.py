@@ -63,11 +63,16 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+def initialize_distributed(
+    coordinator_address=None, num_processes=None, process_id=None, strict=False
+):
     """Multi-host init (replaces torch init_dist/NCCL, dist_utils.py:9-24).
 
     No-op on a single process; on multi-host TPU pods the args usually come
-    from the environment and can all be None.
+    from the environment and can all be None. With ``strict`` (an EXPLICIT
+    ``--launcher jax`` request) an init failure raises instead of silently
+    degrading to independent single-host runs — a pod host training
+    standalone against a shared work_dir corrupts the run.
     """
     if num_processes is not None and num_processes <= 1:
         return False
@@ -79,9 +84,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
         )
         return True
     except (ValueError, RuntimeError) as e:
-        # Single process (no coordinator in the environment) or already
-        # initialized — continue single-host, but say so instead of
-        # swallowing the reason.
+        if strict:
+            raise RuntimeError(
+                f"--launcher jax requested but multi-host init failed: {e}"
+            ) from e
+        # Implicit call path: single process (no coordinator in the
+        # environment) or already initialized — continue single-host, but
+        # say so instead of swallowing the reason.
         print(f"[difffacto_tpu] multi-host init skipped: {e}")
         return False
 

@@ -153,7 +153,15 @@ class Runner:
         # resume / pretrained
         if cfg.pretrained_weights:
             self.load(cfg.pretrained_weights, model_only=bool(cfg.model_only))
-        resume = cfg.resume_path or search_ckpt(self.work_dir)
+        if cfg.resume_path and not os.path.exists(self._norm_ckpt(cfg.resume_path)):
+            # An EXPLICITLY configured checkpoint that's absent must abort —
+            # silently evaluating fresh-init weights wastes an eval run and
+            # produces numbers that look real.
+            raise FileNotFoundError(
+                f"cfg.resume_path does not exist: {cfg.resume_path}"
+            )
+        auto = cfg.get("auto_resume", True)
+        resume = cfg.resume_path or (search_ckpt(self.work_dir) if auto else None)
         if resume and os.path.exists(self._norm_ckpt(resume)):
             self.load(self._norm_ckpt(resume), model_only=bool(cfg.model_only))
 

@@ -36,7 +36,11 @@ def main():
     enable_compile_cache()
     init_cfg(args.config_file)
     cfg = get_cfg()
-    cfg.resume_path = None  # we drive loading explicitly below
+    # We drive checkpoint loading explicitly below; without auto_resume=False
+    # the Runner would ALSO load the work_dir's newest checkpoint at
+    # construction (runner.py resume fallback) — a wasted deserialize.
+    cfg.resume_path = None
+    cfg.auto_resume = False
 
     runner = Runner(cfg=cfg)
     ckpts = args.ckpts or sorted(

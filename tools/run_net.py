@@ -71,7 +71,7 @@ def main():
     if args.launcher != "none":
         from difffacto_tpu.parallel import initialize_distributed
 
-        initialize_distributed()
+        initialize_distributed(strict=True)
 
     from difffacto_tpu.config import get_cfg, init_cfg
     from difffacto_tpu.runner import (
