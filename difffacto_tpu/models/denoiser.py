@@ -232,15 +232,19 @@ class TransformerNet(nn.Module):
                     else jnp.ones((B, nh * M), cdt)
                 )
                 gsum = jnp.kron(eye, jnp.ones((M, M), cdt))
-                # proj_in/proj_out stay in XLA by default: fusing BOTH into
-                # the kernel was measured and regresses e2e 180 -> 143
-                # shapes/s — the 13-lane input / 6-lane output blocks force
-                # degenerate layouts. A/B knobs (eval path only; t_embed=None):
-                # DIFFFACTO_FUSE_HEAD=1 / DIFFFACTO_FUSE_TAIL=1.
+                # Head/tail fusion, A/B-measured per side (bench.py, r2):
+                # proj_in fused INTO the kernel wins (178.1/178.6 -> 182.1/
+                # 182.4 shapes/s — the raw 13-lane input block reads 5x less
+                # HBM than the projected 128-lane hidden); proj_out fused
+                # LOSES badly (146.4 — the narrow 6-lane OUTPUT block forces
+                # a degenerate store layout), explaining the combined 180->143
+                # regression first measured at commit 622b4cc. Defaults:
+                # head ON (kill switch DIFFFACTO_FUSE_HEAD=0), tail OFF
+                # (DIFFFACTO_FUSE_TAIL=1 to re-measure).
                 fuse_head = (
                     deterministic
                     and t_embed is None
-                    and _os.environ.get("DIFFFACTO_FUSE_HEAD", "") == "1"
+                    and _os.environ.get("DIFFFACTO_FUSE_HEAD", "1") == "1"
                 )
                 fuse_tail = (
                     deterministic
