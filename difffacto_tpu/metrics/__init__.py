@@ -10,5 +10,6 @@ from .eval import (
     knn,
     lgan_mmd_cov,
     pairwise_cd_emd,
+    pairwise_self_cd_emd,
 )
 from .iou import aabb_iou

@@ -175,6 +175,115 @@ def pairwise_cd_emd(
     return cd_all, emd_all
 
 
+# --------------------------------------------------- symmetric self-pairwise
+# Pair-batches of the strict upper triangle computed per device dispatch for
+# X-vs-X sweeps (pairwise_self_cd_emd). batch_size pairs per chunk, this many
+# chunks scanned inside one dispatch (~5 s at 32-pair chunks of 2048-pt
+# clouds — safely under the tunnel worker watchdog).
+PAIRWISE_SELF_CHUNKS = int(_os.environ.get("DIFFFACTO_PAIRWISE_SELF_CHUNKS", 16))
+
+
+def _get_pairlist_kernel(compute_emd: bool):
+    """Module-cached jitted pair-list CD/EMD kernel: gathers pair endpoints
+    from one device-resident cloud array and scans chunk-of-batch_size pair
+    batches, so a triangle sweep pays one dispatch per PAIRWISE_SELF_CHUNKS
+    chunks. Cache-keyed like _get_pairwise_kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.emd import emd_cost_eval, resolved_emd_eval_config
+
+    key = (
+        "pairlist",
+        compute_emd,
+        (resolved_emd_eval_config(), EMD_EPS(), EMD_ITERS()) if compute_emd else None,
+    )
+    fn = _PAIRWISE_KERNELS.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def pair_chunks(pts, masks, ii, jj):
+        """(S, N, 3) x (S, N) x (C, bs) x (C, bs) -> cd/emd (C, bs)."""
+
+        def chunk(carry, idx):
+            ic, jc = idx
+            a, b = pts[ic], pts[jc]
+            ma, mb = masks[ic], masks[jc]
+            dl, dr = chamfer_split(a, b)
+            cd = (dl * ma).sum(1) / ma.sum(1) + (dr * mb).sum(1) / mb.sum(1)
+            if compute_emd:
+                e = emd_cost_eval(a, b, EMD_EPS(), EMD_ITERS())
+            else:
+                e = jnp.zeros_like(cd)
+            return carry, (cd, e)
+
+        _, (cds, es) = jax.lax.scan(chunk, 0, (ii, jj))
+        return cds, es
+
+    _PAIRWISE_KERNELS[key] = pair_chunks
+    return pair_chunks
+
+
+def pairwise_self_cd_emd(
+    pts: np.ndarray,
+    batch_size: int = 32,
+    compute_emd: bool = True,
+    mask: Optional[np.ndarray] = None,
+    verbose: bool = False,
+):
+    """X-vs-X pairwise CD and EMD: (S, N, 3) -> symmetric (S, S) matrices.
+
+    CD and EMD are symmetric, so only the strict upper triangle is computed
+    and mirrored — the reference sweeps all S^2 ordered pairs
+    (evaluation_utils.py:143-200), paying 2x for values that differ only by
+    the auction's approximation noise (the diagonal is likewise ~0 and unused:
+    every consumer masks it). Cuts the 400-shape protocol's EMD work by a
+    third. ``DIFFFACTO_EVAL_SYMMETRIC=0`` restores the exact reference sweep
+    (see compute_all_metrics).
+    """
+    import jax.numpy as jnp
+
+    S, N, _ = pts.shape
+    cd_m = np.zeros((S, S), np.float64)
+    emd_m = np.zeros((S, S), np.float64)
+    if S < 2:
+        return cd_m, emd_m
+
+    iu, ju = np.triu_indices(S, k=1)
+    P = iu.shape[0]
+    kernel = _get_pairlist_kernel(compute_emd)
+
+    pts_j = jnp.asarray(pts, jnp.float32)
+    m = (
+        jnp.asarray(mask, jnp.float32)
+        if mask is not None
+        else jnp.ones((S, N), jnp.float32)
+    )
+
+    chunks = max(1, PAIRWISE_SELF_CHUNKS)
+    per_dispatch = batch_size * chunks
+    pad = (-P) % per_dispatch
+    ii = np.concatenate([iu, np.zeros(pad, np.int64)]).astype(np.int32)
+    jj = np.concatenate([ju, np.full(pad, min(1, S - 1), np.int64)]).astype(np.int32)
+    cd_flat, emd_flat = [], []
+    for s in range(0, P + pad, per_dispatch):
+        ic = jnp.asarray(ii[s : s + per_dispatch].reshape(chunks, batch_size))
+        jc = jnp.asarray(jj[s : s + per_dispatch].reshape(chunks, batch_size))
+        cd, e = kernel(pts_j, m, ic, jc)
+        cd_flat.append(_to_np(cd).reshape(-1))
+        emd_flat.append(_to_np(e).reshape(-1))
+        if verbose:
+            print(f"pairwise-self {min(s + per_dispatch, P)}/{P}")
+    cd_v = np.concatenate(cd_flat)[:P]
+    emd_v = np.concatenate(emd_flat)[:P]
+    cd_m[iu, ju] = cd_v
+    cd_m[ju, iu] = cd_v
+    emd_m[iu, ju] = emd_v
+    emd_m[ju, iu] = emd_v
+    return cd_m, emd_m
+
+
 # ------------------------------------------------------------------ 1-NNA
 def knn(Mxx, Mxy, Myy, k: int = 1, sqrt: bool = False, one_way: bool = False) -> Dict[str, float]:
     """Leave-one-out k-NN two-sample classification accuracy
@@ -259,11 +368,28 @@ def compute_all_metrics(
         res = lgan_mmd_cov(M.T)
         results.update({f"{k}-{name}": v for k, v in res.items()})
 
-    M_rr_cd, M_rr_emd = pairwise_cd_emd(ref_pcs, ref_pcs, batch_size, compute_emd=compute_emd)
+    # The X-vs-X matrices feed only the 1-NNA (diagonal masked); CD/EMD are
+    # symmetric, so by default only the upper triangle is computed
+    # (pairwise_self_cd_emd). DIFFFACTO_EVAL_SYMMETRIC=0 restores the
+    # reference's full ordered sweep (evaluation_utils.py:500-541) — the two
+    # differ only by the auction's approximation noise on mirrored pairs.
+    symmetric = _os.environ.get("DIFFFACTO_EVAL_SYMMETRIC", "1") != "0"
+    if symmetric:
+        M_rr_cd, M_rr_emd = pairwise_self_cd_emd(
+            ref_pcs, batch_size, compute_emd=compute_emd
+        )
+    else:
+        M_rr_cd, M_rr_emd = pairwise_cd_emd(
+            ref_pcs, ref_pcs, batch_size, compute_emd=compute_emd
+        )
     if one_way:
         S = M_rs_cd.shape[1]
         M_ss_cd = np.full((S, S), np.inf)
         M_ss_emd = np.full((S, S), np.inf)
+    elif symmetric:
+        M_ss_cd, M_ss_emd = pairwise_self_cd_emd(
+            sample_pcs, batch_size, compute_emd=compute_emd, mask=mask
+        )
     else:
         M_ss_cd, M_ss_emd = pairwise_cd_emd(
             sample_pcs, sample_pcs, batch_size, compute_emd=compute_emd,

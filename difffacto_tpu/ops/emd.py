@@ -156,11 +156,12 @@ def emd_cost(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iters: in
 def resolved_emd_eval_config(n: Optional[int] = None):
     """Resolve the eval-EMD implementation knobs from the environment.
 
-    Returns ``(impl, sinkhorn_iters, auction_iters, interpret)`` where impl
-    is 'hybrid' or 'auction'. Centralized so callers that jit-and-cache
-    around ``emd_cost_eval`` (metrics/eval.py) can key their caches on the
-    *resolved* configuration — env-var changes after a first sweep then
-    correctly produce a fresh trace instead of silently reusing the old one.
+    Returns ``(impl, sinkhorn_iters, auction_iters, interpret, auction_cache)``
+    where impl is 'hybrid' or 'auction'. Centralized so callers that
+    jit-and-cache around ``emd_cost_eval`` (metrics/eval.py) can key their
+    caches on the *resolved* configuration — env-var changes after a first
+    sweep then correctly produce a fresh trace instead of silently reusing
+    the old one.
     """
     import os
 
@@ -175,6 +176,7 @@ def resolved_emd_eval_config(n: Optional[int] = None):
         int(os.environ.get("DIFFFACTO_EMD_SINKHORN_ITERS", 150)),
         int(os.environ.get("DIFFFACTO_EMD_AUCTION_ITERS", 150)),
         not on_tpu,  # hybrid off-TPU only runs in interpret mode
+        os.environ.get("DIFFFACTO_EMD_AUCTION_CACHE", "1") != "0",
     )
 
 
@@ -192,8 +194,8 @@ def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iter
       * ``auction`` (default off-TPU) — the XLA while_loop auction with the
         reference knobs (eps/iters), exact behavioral parity.
     """
-    impl, sinkhorn_iters, auction_iters, interpret = resolved_emd_eval_config(
-        xyz1.shape[1]
+    impl, sinkhorn_iters, auction_iters, interpret, auction_cache = (
+        resolved_emd_eval_config(xyz1.shape[1])
     )
     if impl == "hybrid":
         global _HYBRID_NOTICE_SHOWN
@@ -211,6 +213,7 @@ def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iter
             xyz1, xyz2, eps=eps, interpret=interpret,
             sinkhorn_iters=sinkhorn_iters,
             auction_iters=auction_iters,
+            auction_from_cache=auction_cache,
         )
         matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
         return jnp.sqrt(

@@ -50,7 +50,7 @@ _NEG = -1e9
 
 def _emd_hybrid_kernel(
     n, tile, sinkhorn_iters, sinkhorn_inner, auction_iters, eps_final,
-    eps_start, eps_decay, cache_dist,
+    eps_start, eps_decay, cache_dist, auction_from_cache,
     x1_ref, x2t_ref, sq1_ref, sq2_ref, out_ref,
     f_s, g_s, price_s, assign_s, owner_s, winval_s, winrow_s, m_s, sum_s,
     dist_s,
@@ -92,6 +92,16 @@ def _emd_hybrid_kernel(
             return dist_s[pl.ds(t * tile, tile), :].astype(f32)
     else:
         dist_tile_cached = dist_tile
+
+    # The auction emits only the ASSIGNMENT (matched distances are recomputed
+    # in f32 outside, ops/emd.py), so bidding from the bf16 cache only
+    # perturbs near-ties at ~eps scale — like running at a slightly larger
+    # eps. Measured on TPU (tools/tpu_emd_check.py): accuracy unchanged
+    # within the hybrid's existing ±0.6% band, and it removes the per-sweep
+    # f32 distance recompute (matmul + sqrt over the full (n, n) matrix).
+    dist_tile_auction = (
+        dist_tile_cached if (cache_dist and auction_from_cache) else dist_tile
+    )
 
     # ------------------------------------------------ phase 1: sinkhorn
     g_s[...] = jnp.zeros((1, n), f32)
@@ -144,7 +154,7 @@ def _emd_hybrid_kernel(
     def bid_t(t, c):
         """Fused sweep step: per-point best/better/inc for tile t, folded
         into the per-object winner accumulators winval_s/winrow_s."""
-        value = -dist_tile(t) - price_s[...]                   # (tile, n)
+        value = -dist_tile_auction(t) - price_s[...]           # (tile, n)
         best = jnp.max(value, axis=1, keepdims=True)
         bid = jnp.min(jnp.where(value >= best, lane_i32, n), axis=1)
         masked = jnp.where(lane_i32 == bid[:, None], _NEG, value)
@@ -194,7 +204,7 @@ def _emd_hybrid_kernel(
 
     # force-assign stragglers to their best object (reference 'last' flag)
     def force_t(t, c):
-        value = -dist_tile(t) - price_s[...]
+        value = -dist_tile_auction(t) - price_s[...]
         best = jnp.max(value, axis=1, keepdims=True)
         bid = jnp.min(jnp.where(value >= best, lane_i32, n), axis=1)
         cur = assign_s[0, pl.ds(t * tile, tile)]
@@ -216,6 +226,7 @@ def emd_assignment_hybrid(
     eps_decay: float = 0.4,
     tile: int = 256,
     interpret: bool = False,
+    auction_from_cache: bool = True,
 ) -> jnp.ndarray:
     """(B, n, 3) x (B, n, 3) -> assignment (B, n) int32 (x1 point -> x2 index).
 
@@ -242,6 +253,7 @@ def emd_assignment_hybrid(
     kernel = functools.partial(
         _emd_hybrid_kernel, n, tile, sinkhorn_iters, sinkhorn_inner,
         auction_iters, eps, eps_start, eps_decay, cache_dist,
+        auction_from_cache,
     )
     vec_f32 = pltpu.VMEM((1, n), f32)
     vec_i32 = pltpu.VMEM((1, n), jnp.int32)

@@ -19,6 +19,7 @@ from difffacto_tpu.metrics import (
     knn,
     lgan_mmd_cov,
     pairwise_cd_emd,
+    pairwise_self_cd_emd,
 )
 
 
@@ -37,6 +38,41 @@ class TestMetrics:
         # identical clouds -> near-zero distance on the diagonal of self-pairs
         cd_self, _ = pairwise_cd_emd(s, s, batch_size=2, compute_emd=False)
         assert np.allclose(np.diag(cd_self), 0, atol=1e-4)
+
+    def test_pairwise_self_matches_full_sweep(self, monkeypatch):
+        """The triangle+mirror X-vs-X sweep must reproduce the full ordered
+        sweep: CD exactly (symmetric by construction), EMD on the computed
+        (upper-triangle) orientation exactly and on the mirrored orientation
+        within auction approximation noise."""
+        from difffacto_tpu.metrics import eval as ev
+
+        monkeypatch.setattr(ev, "PAIRWISE_SELF_CHUNKS", 2)
+        pts = make_clouds(5, npts=64, seed=3)
+        mask = np.ones((5, 64), np.float32)
+        mask[:, 48:] = 0.0
+        cd_s, emd_s = ev.pairwise_self_cd_emd(pts, batch_size=2, mask=mask)
+        cd_f, emd_f = ev.pairwise_cd_emd(
+            pts, pts, batch_size=2, mask_sample=mask, mask_ref=mask
+        )
+        assert np.allclose(cd_s, cd_s.T) and np.allclose(emd_s, emd_s.T)
+        assert np.allclose(np.diag(cd_s), 0) and np.allclose(np.diag(emd_s), 0)
+        iu, ju = np.triu_indices(5, k=1)
+        np.testing.assert_allclose(cd_s[iu, ju], cd_f[iu, ju], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(emd_s[iu, ju], emd_f[iu, ju], rtol=1e-4, atol=1e-5)
+        # mirrored entries: same pair, opposite argument order in the full
+        # sweep -> equal up to the auction's approximation band
+        np.testing.assert_allclose(emd_s[ju, iu], emd_f[ju, iu], rtol=0.05, atol=1e-3)
+
+    def test_compute_all_metrics_symmetric_toggle(self, monkeypatch):
+        """1-NNA from the symmetric self-sweep agrees with the reference's
+        full sweep on well-separated sets (and the kill-switch works)."""
+        s = make_clouds(4, seed=0)
+        r = make_clouds(4, seed=1, shift=3.0)
+        m_sym = compute_all_metrics(s, r, batch_size=2)
+        monkeypatch.setenv("DIFFFACTO_EVAL_SYMMETRIC", "0")
+        m_full = compute_all_metrics(s, r, batch_size=2)
+        for k in ("1-NN-CD-acc", "1-NN-EMD-acc", "lgan_mmd-CD", "lgan_cov-CD"):
+            assert np.isclose(m_sym[k], m_full[k]), (k, m_sym[k], m_full[k])
 
     def test_knn_separable(self):
         """Disjoint sets -> 1-NNA accuracy 1.0; identical -> ~0.5."""

@@ -34,21 +34,25 @@ def main():
     b = jnp.asarray(rng.randn(B, n, 3) * 0.3, jnp.float32)
 
     # accuracy: hybrid vs XLA auction at a mid iteration budget (the full
-    # 10000-iter auction dispatch can outlive the tunnel watchdog)
+    # 10000-iter auction dispatch can outlive the tunnel watchdog); both
+    # auction-bidding variants (f32 recompute vs bf16 VMEM cache)
     auc = np.asarray(emd_cost(a, b, 0.002, 1500))
-    assign = np.asarray(emd_assignment_hybrid(a, b))
     an, bn = np.asarray(a), np.asarray(b)
-    hyb = []
-    dups = 0
-    for i in range(B):
-        d = np.sqrt(((an[i][:, None] - bn[i][None]) ** 2).sum(-1))
-        hyb.append(d[np.arange(n), assign[i]].mean())
-        dups += n - len(np.unique(assign[i]))
-    hyb = np.asarray(hyb)
     print("auction@1500:", np.round(auc, 5))
-    print("hybrid:      ", np.round(hyb, 5))
-    print(f"rel diff: {np.abs(hyb - auc).max() / auc.mean():.4f}  "
-          f"duplicates: {dups}/{B * n}")
+    for from_cache in (False, True):
+        assign = np.asarray(
+            emd_assignment_hybrid(a, b, auction_from_cache=from_cache)
+        )
+        hyb = []
+        dups = 0
+        for i in range(B):
+            d = np.sqrt(((an[i][:, None] - bn[i][None]) ** 2).sum(-1))
+            hyb.append(d[np.arange(n), assign[i]].mean())
+            dups += n - len(np.unique(assign[i]))
+        hyb = np.asarray(hyb)
+        print(f"hybrid(auction_from_cache={from_cache}):", np.round(hyb, 5))
+        print(f"  rel diff: {np.abs(hyb - auc).max() / auc.mean():.4f}  "
+              f"duplicates: {dups}/{B * n}")
 
     # protocol-shaped throughput
     from difffacto_tpu.metrics import eval as ev
@@ -60,9 +64,22 @@ def main():
     t0 = time.perf_counter()
     cd, emd_m = ev.pairwise_cd_emd(sample + 0.01, ref, batch_size=32)
     dt = time.perf_counter() - t0
-    print(f"pairwise CD+EMD: {dt / (S * R) * 1e3:.1f} ms/pair "
-          f"(400-shape protocol est {3 * 400 * 400 * dt / (S * R) / 60:.0f} min; "
-          f"XLA auction at eval settings measured ~700 ms/pair = ~4 days)")
+    mspair = dt / (S * R) * 1e3
+
+    # symmetric X-vs-X sweep (the 1-NNA self matrices): triangle + mirror
+    Ss = 32  # 496 upper-triangle pairs: one 512-pair dispatch, 3% padding
+    selfpts = rng.randn(Ss, n, 3).astype(np.float32) * 0.3
+    ev.pairwise_self_cd_emd(selfpts, batch_size=32)  # compile
+    t0 = time.perf_counter()
+    ev.pairwise_self_cd_emd(selfpts + 0.01, batch_size=32)
+    dt_s = time.perf_counter() - t0
+    npairs = Ss * (Ss - 1) // 2  # 496 real; 512 computed incl. padding
+    ms_self = dt_s / npairs * 1e3
+    # protocol: 400x400 rect + 2 triangles of 400 -> 160k + 2*79.8k pairs
+    est = (400 * 400 * mspair + 2 * (400 * 399 // 2) * ms_self) / 1e3 / 60
+    print(f"pairwise CD+EMD: {mspair:.1f} ms/pair rect, {ms_self:.1f} ms/pair "
+          f"self-triangle ({npairs} pairs in {dt_s:.1f} s); 400-shape protocol "
+          f"est {est:.0f} min (XLA auction at eval settings ~700 ms/pair = days)")
 
 
 if __name__ == "__main__":
