@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_SHAPES_PER_SEC = 40.0
 
-BATCH = 128
+BATCH = 256  # +3% over 128 (head/tail amortization, CLAUDE.md ledger); serving-throughput config
 NPOINTS = 2048
 WARMUP = 1
 ITERS = 3
