@@ -190,7 +190,8 @@ def ShapeNetParts(batch_size, path, npoints=2048, n_class=4, shuffle=True,
         **{k: v for k, v in kwargs.items() if k in (
             "scale_mode", "part_scale_mode", "clip", "class_choice")},
     )
-    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last,
+                      num_workers=int(kwargs.get("num_workers", 0))), None
 
 
 @DATASETS.register_module()
@@ -206,7 +207,8 @@ def ShapeNetSupSeg(batch_size, path, npoints=2048, n_class=25, shuffle=True,
         **{k: v for k, v in kwargs.items() if k in (
             "scale_mode", "part_scale_mode", "clip", "class_choice")},
     )
-    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last,
+                      num_workers=int(kwargs.get("num_workers", 0))), None
 
 
 @DATASETS.register_module()
@@ -227,7 +229,8 @@ def Partnet(batch_size, root, npoints=2048, n_class=4, shuffle=True, split="trai
         **{k: v for k, v in kwargs.items() if k in (
             "scale_mode", "part_scale_mode", "clip", "class_choice")},
     )
-    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last,
+                      num_workers=int(kwargs.get("num_workers", 0))), None
 
 
 class _PartglotTripletDataset:
@@ -280,7 +283,7 @@ def ShapeNetPart(batch_size, root, npoints, num_workers=0, scale_mode=None,
     bare dataset; here it follows the uniform (loader, sampler) contract."""
     return ShapeNetParts(
         batch_size, root, npoints=npoints, n_class=n_class, shuffle=shuffle,
-        drop_last=drop_last, eval_mode=eval_mode,
+        drop_last=drop_last, eval_mode=eval_mode, num_workers=num_workers,
         scale_mode=scale_mode or "shape_unit", **kwargs,
     )
 
@@ -364,7 +367,8 @@ def ShapeNet(batch_size, root, npoints, split, crop=(0.25, 0.75),
     ds = _ShapeNet55(root, npoints, split, scale_mode=scale_mode, cats=tuple(cats))
     if drop_last is None:
         drop_last = split != "test"  # never drop eval shapes
-    base = DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last)
+    base = DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
+                      drop_last=drop_last, num_workers=num_workers)
     return CroppingDataLoader(base, crop_range), None
 
 

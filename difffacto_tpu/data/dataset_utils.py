@@ -300,19 +300,39 @@ class CroppingDataLoader:
 
 
 class DataLoader:
-    """Minimal epoch iterator over an indexable dataset with numpy collation.
+    """Epoch iterator over an indexable dataset with numpy collation.
 
     Replaces the torch DataLoader wrappers (dataset_utils.py:18-53). Includes
     the ``evaluate`` passthrough the runner calls on the loader.
+
+    ``num_workers`` maps the reference's worker-process knob to a single
+    background *prefetch thread*: batches are assembled ahead of the consumer
+    into a bounded queue (depth ``prefetch``), overlapping host-side item
+    assembly/collation with device compute. One producer keeps the dataset's
+    sequential RNG stream IDENTICAL to the synchronous path (the dataset's
+    shared ``RandomState`` is order-dependent), unlike torch where
+    num_workers>0 re-seeds per worker (dataset_utils.py:52-53).
     """
 
-    def __init__(self, dataset, batch_size: int, shuffle: bool = True, drop_last: bool = False, seed: int = 0, **_):
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_workers: int = 0,
+        prefetch: int = 2,
+        **_,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._epoch = 0
         self._seed = seed
+        self.num_workers = num_workers
+        self.prefetch = max(1, int(prefetch))
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -323,7 +343,7 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -333,6 +353,46 @@ class DataLoader:
             if self.drop_last and len(idx) < self.batch_size:
                 return
             yield collate([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers <= 0:
+            yield from self._batches()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _END = object()
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(_END)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def evaluate(self, results, save_num_batch, device=None):
         return self.dataset.evaluate(results, save_num_batch, device)

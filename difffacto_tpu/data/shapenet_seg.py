@@ -279,7 +279,7 @@ def ShapeNetSeg(
         augment_shift=augment_shift,
         augment_scale=augment_scale,
     )
-    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last, num_workers=num_workers), None
 
 
 @DATASETS.register_module()
@@ -322,4 +322,4 @@ def ShapeNetSegPart(
         using_whole_chair_only=using_whole_chair_only,
         clip=clip,
     )
-    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
+    return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last, num_workers=num_workers), None

@@ -134,6 +134,55 @@ class TestDataset:
         assert batches[0]["input"].shape == (4, 128, 3)
         assert isinstance(batches[0]["token"], list)
 
+    def test_prefetch_loader_matches_sync(self):
+        """num_workers>0 prefetches in a background thread but must yield the
+        exact same batch stream as the synchronous path (single producer
+        preserves the dataset's sequential RNG order)."""
+        sync = DataLoader(
+            SyntheticPartDataset(npoints=64, size=10), batch_size=4, shuffle=True
+        )
+        pre = DataLoader(
+            SyntheticPartDataset(npoints=64, size=10),
+            batch_size=4, shuffle=True, num_workers=2,
+        )
+        sync.set_epoch(3)
+        pre.set_epoch(3)
+        for bs, bp in zip(list(sync), list(pre)):
+            assert set(bs) == set(bp)
+            for k in bs:
+                if isinstance(bs[k], list):
+                    assert bs[k] == bp[k]
+                else:
+                    np.testing.assert_array_equal(bs[k], bp[k])
+
+    def test_prefetch_loader_early_break(self):
+        """Breaking out mid-epoch must not wedge the producer thread, and the
+        loader must be iterable again afterward."""
+        dl = DataLoader(
+            SyntheticPartDataset(npoints=64, size=20),
+            batch_size=2, shuffle=False, num_workers=1, prefetch=1,
+        )
+        for i, _ in enumerate(dl):
+            if i == 1:
+                break
+        assert len(list(dl)) == 10
+
+    def test_prefetch_loader_propagates_errors(self):
+        class Boom:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i >= 2:
+                    raise RuntimeError("boom")
+                return {"x": np.zeros(3, np.float32)}
+
+        dl = DataLoader(Boom(), batch_size=2, shuffle=False, num_workers=1)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(dl)
+
     def test_pc_norm_modes(self):
         pc = np.random.RandomState(0).randn(100, 3).astype(np.float32)
         for mode in ("shape_unit", "shape_canonical", "shape_bbox", "shape_canonical_bbox"):
