@@ -53,6 +53,14 @@ _PAIRWISE_KERNELS = {}
 PAIRWISE_ROWS = int(_os.environ.get("DIFFFACTO_PAIRWISE_ROWS", 4))
 
 
+def _pairwise_ref_block() -> int:
+    """Ref CHUNKS per dispatch (0 = all). A dispatch normally scans every ref
+    chunk for its row block; with a slow EMD implementation (the XLA auction
+    at eval iteration counts) that single program exceeds the tunnel worker's
+    per-dispatch watchdog — this splits the ref axis across dispatches."""
+    return int(_os.environ.get("DIFFFACTO_PAIRWISE_REF_BLOCK", 0))
+
+
 def _get_pairwise_kernel(compute_emd: bool):
     """Module-cached jitted (row block) x (all refs) CD/EMD kernel: a scan
     over rows, each row scanning ref chunks — a fresh closure per call would
@@ -161,13 +169,27 @@ def pairwise_cd_emd(
         ms = ms[sidx]
     Sp = sample_j.shape[0]
 
+    n_chunks = ref_c.shape[0]
+    ref_block = _pairwise_ref_block() or n_chunks
+    if n_chunks % ref_block:
+        # pad the chunk axis (modular) so every dispatch sees ref_block chunks
+        gpad = (-n_chunks) % ref_block
+        cidx = jnp.arange(n_chunks + gpad) % n_chunks
+        ref_c = ref_c[cidx]
+        refm_c = refm_c[cidx]
+
     cd_blocks, emd_blocks = [], []
     for i in range(0, Sp, rows):
-        cd, e = rows_vs_refs(
-            sample_j[i : i + rows], ms[i : i + rows], ref_c, refm_c
-        )
-        cd_blocks.append(_to_np(cd))
-        emd_blocks.append(_to_np(e))
+        cd_cols, emd_cols = [], []
+        for g in range(0, ref_c.shape[0], ref_block):
+            cd, e = rows_vs_refs(
+                sample_j[i : i + rows], ms[i : i + rows],
+                ref_c[g : g + ref_block], refm_c[g : g + ref_block],
+            )
+            cd_cols.append(_to_np(cd))
+            emd_cols.append(_to_np(e))
+        cd_blocks.append(np.concatenate(cd_cols, axis=-1))
+        emd_blocks.append(np.concatenate(emd_cols, axis=-1))
         if verbose and (i + rows) % max(rows, 50 - 50 % rows) == 0:
             print(f"pairwise {min(i + rows, S)}/{S}")
     cd_all = np.concatenate(cd_blocks)[:S, :R]

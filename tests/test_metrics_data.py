@@ -63,6 +63,18 @@ class TestMetrics:
         # sweep -> equal up to the auction's approximation band
         np.testing.assert_allclose(emd_s[ju, iu], emd_f[ju, iu], rtol=0.05, atol=1e-3)
 
+    def test_pairwise_ref_block_equivalent(self, monkeypatch):
+        """Splitting the ref axis across dispatches (the watchdog escape
+        hatch for slow EMD impls) must reproduce the single-dispatch sweep
+        exactly, including when the block doesn't divide the chunk count."""
+        s = make_clouds(3, npts=64, seed=0)
+        r = make_clouds(6, npts=64, seed=1)
+        cd_full, emd_full = pairwise_cd_emd(s, r, batch_size=2)
+        monkeypatch.setenv("DIFFFACTO_PAIRWISE_REF_BLOCK", "2")
+        cd_b, emd_b = pairwise_cd_emd(s, r, batch_size=2)
+        np.testing.assert_allclose(cd_b, cd_full, rtol=1e-6)
+        np.testing.assert_allclose(emd_b, emd_full, rtol=1e-6)
+
     def test_compute_all_metrics_symmetric_toggle(self, monkeypatch):
         """1-NNA from the symmetric self-sweep agrees with the reference's
         full sweep on well-separated sets (and the kill-switch works)."""

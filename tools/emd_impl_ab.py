@@ -41,10 +41,13 @@ def main():
     )
     args = ap.parse_args()
 
-    # small dispatches so the ~0.7 s/pair auction sweeps stay under the
-    # tunnel watchdog; must be set before metrics/eval is imported
+    # small dispatches so the slow auction sweeps stay under the tunnel
+    # watchdog: 1 row x 1 ref chunk of 8 pairs per dispatch (a full-row
+    # dispatch at auction eval iterations crashed the TPU worker); must be
+    # set before metrics/eval is imported
     os.environ["DIFFFACTO_PAIRWISE_ROWS"] = "1"
     os.environ["DIFFFACTO_PAIRWISE_SELF_CHUNKS"] = "1"
+    os.environ["DIFFFACTO_PAIRWISE_REF_BLOCK"] = "1"
 
     from difffacto_tpu.utils import enable_compile_cache
 
@@ -59,7 +62,7 @@ def main():
     from difffacto_tpu.runner import Runner
 
     cfg = Config(args.config_file)
-    runner = Runner(cfg, task="val_gen")
+    runner = Runner(cfg=cfg)
     S = args.num
 
     rng_np = np.random.RandomState(runner.seed)
@@ -93,7 +96,7 @@ def main():
         os.environ["DIFFFACTO_EMD_IMPL"] = impl
         os.environ["DIFFFACTO_EMD_ITERS"] = str(args.auction_iters)
         t0 = time.perf_counter()
-        m = compute_all_metrics(gen, refs, batch_size=32, one_way=False)
+        m = compute_all_metrics(gen, refs, batch_size=8, one_way=False)
         dt = time.perf_counter() - t0
         results[impl] = m
         print(f"[{impl}] {dt:.0f} s")
