@@ -458,18 +458,29 @@ def decode(
     """Reverse diffusion chain (anchor_gen.py:145-169) as one lax.scan program.
 
     With ``mesh`` (>1 device) and ``ret_traj=False``, the chain runs under
-    ``shard_map`` over the 'data' axis: generation is embarrassingly parallel
-    over the batch, each device runs its local shard through the Pallas trunk
-    kernel (which a plain-GSPMD custom call would not partition), and the rng
-    is folded per device so shards draw independent noise.
+    ``shard_map``: generation is embarrassingly parallel over the batch
+    ('data' axis) AND over the point-token axis ('points' axis of a 2-D
+    mesh, parallel/mesh.py) — the denoiser cross-attends each point token to
+    only 4 replicated context tokens, so a point shard needs no collectives.
+    Each device runs its local (batch, points) tile through the Pallas trunk
+    kernel (which a plain-GSPMD custom call would not partition), and the
+    rng is folded per device so shards draw independent noise. 'points'
+    sharding is the single-shape LATENCY lever: one cloud's reverse chain
+    spreads over the mesh row.
     """
     ret_traj = model.ret_traj if ret_traj is None else ret_traj
     ret_interval = model.ret_interval if ret_interval is None else ret_interval
+    mesh_axes = tuple(mesh.axis_names) if mesh is not None else ()
+    n_data = mesh.shape["data"] if "data" in mesh_axes else (
+        getattr(mesh, "size", 1) if mesh is not None else 1
+    )
+    n_points = mesh.shape["points"] if "points" in mesh_axes else 1
     use_shard = (
         mesh is not None
         and getattr(mesh, "size", 1) > 1
         and not ret_traj
-        and anchors.shape[0] % mesh.size == 0  # shard_map needs even shards
+        and anchors.shape[0] % n_data == 0  # shard_map needs even shards
+        and anchors.shape[1] % n_points == 0
     )
 
     def build():
@@ -495,17 +506,30 @@ def decode(
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        axis = mesh.axis_names[0]
+        axes = tuple(mesh.axis_names)
 
         def local_run(variables, rng, *args):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            for ax in axes:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
             return run(variables, rng, *args)
+
+        if axes == ("data", "points"):
+            dp, dpp = P("data"), P("data", "points")
+            # (anchors, ctx, variance, seg_mask, valid_id, noise): per-point
+            # tensors shard both axes; per-part tensors (ctx, valid_id) have
+            # no point axis and shard batch only.
+            in_specs = (P(), P(), dpp, dp, dpp, dpp, dp, dpp)
+            out_pred = dpp
+        else:
+            axis = axes[0]
+            in_specs = (P(), P()) + (P(axis),) * 6
+            out_pred = P(axis)
 
         return shard_map(
             local_run,
             mesh=mesh,
-            in_specs=(P(), P()) + (P(axis),) * 6,
-            out_specs={"pred": P(axis)},
+            in_specs=in_specs,
+            out_specs={"pred": out_pred},
             check_vma=False,
         )
 

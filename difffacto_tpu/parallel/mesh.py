@@ -8,27 +8,48 @@ replicated. XLA/GSPMD inserts the gradient reductions over ICI; batch-norm
 statistics are computed over the *global* batch for free (the reference needs
 opt-in SyncBatchNorm, runner.py:62-66).
 
-The mesh is 1-D ('data') today because DiffFacto is a few-million-parameter
-model; the helpers accept extra axes so model-parallel axes can be added
-without touching call sites.
+Axes: 'data' (batch parallelism — training and generation) and optionally
+'points' (sequence parallelism over the point-token axis — generation only).
+Tensor/pipeline/expert axes are deliberately absent: DiffFacto is a
+few-million-parameter model (SURVEY.md §2.6), so parameters replicate and
+the scaling axes are batch and points-per-cloud (npoints=8192 for car,
+configs/gen_car.py:90). The denoiser cross-attends each point token to only
+4 context tokens, so a 'points' shard of the reverse chain needs ZERO
+collectives — each device runs its point slice through the Pallas trunk
+kernel against the replicated context. That makes dp x sp the natural
+serving layout: 'points' cuts single-shape latency, 'data' adds throughput.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices: Optional[Sequence] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data",),
+    mesh_shape: Optional[Tuple[int, ...]] = None,
+) -> Mesh:
     if devices is None:
         devices = jax.devices()
     devs = np.asarray(devices)
-    if len(axis_names) > 1:
-        raise NotImplementedError("only 1-D data meshes are used at this model scale")
-    return Mesh(devs, axis_names)
+    axis_names = tuple(axis_names)
+    if len(axis_names) == 1:
+        return Mesh(devs, axis_names)
+    if axis_names != ("data", "points"):
+        raise NotImplementedError(
+            "supported meshes: 1-D ('data',) and 2-D ('data', 'points') — "
+            "DiffFacto has no tensor/pipeline/expert axes at this scale"
+        )
+    if mesh_shape is None:
+        mesh_shape = (1, devs.size)
+    if int(np.prod(mesh_shape)) != devs.size:
+        raise ValueError(f"mesh_shape {mesh_shape} != {devs.size} devices")
+    return Mesh(devs.reshape(mesh_shape), axis_names)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -125,6 +125,23 @@ class Runner:
         while n_dev > 1 and bs % n_dev != 0:
             n_dev -= 1
         self.mesh = make_mesh(jax.devices()[:n_dev])
+        # Optional dp x sp generation mesh (cfg.sp_devices = width of the
+        # 'points' axis): the reverse chain shards the point-token axis too,
+        # cutting single-shape latency — see parallel/mesh.py. Training
+        # always uses the flat data mesh above.
+        self.gen_mesh = self.mesh
+        sp = int(cfg.get("sp_devices", 0) or 0)
+        if sp > 1:
+            total = len(jax.devices())
+            if total % sp == 0:
+                self.gen_mesh = make_mesh(
+                    jax.devices(), ("data", "points"), (total // sp, sp)
+                )
+            else:
+                self.logger.print_log(
+                    f"sp_devices={sp} does not divide {total} devices; "
+                    "generation stays on the data mesh"
+                )
         # >1 device: shard_map step (device-local Pallas kernels, psum'd
         # grads over ICI); single device: plain jit.
         self._step_fn = make_train_step(
@@ -283,7 +300,7 @@ class Runner:
                 fixed_id=jnp.asarray(fixed),
                 epoch=self.epoch,
                 ret_traj=self.model.ret_traj,
-                mesh=self.mesh if self.mesh.size > 1 else None,
+                mesh=self.gen_mesh if self.gen_mesh.size > 1 else None,
             )
             name = "gen_fixed" + "".join(map(lambda i: str(int(i)), fixed))
         else:
@@ -370,7 +387,7 @@ class Runner:
                 b,
                 valid_id=jnp.asarray(presence),
                 epoch=self.epoch,
-                mesh=self.mesh if self.mesh.size > 1 else None,
+                mesh=self.gen_mesh if self.gen_mesh.size > 1 else None,
             )
             K = self.model.cimle_sample_num if self.model.cimle else 1
             p = np.asarray(out["pred"]).reshape(b, K, -1, 3)[:, 0]

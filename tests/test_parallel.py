@@ -247,6 +247,67 @@ def test_decode_sharded_equals_unsharded():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_decode_points_sharded_equals_unsharded():
+    """dp x sp decode == unsharded decode, bit-comparable.
+
+    The 2-D ('data', 'points') mesh shards the reverse chain over BOTH the
+    batch and the point-token axis (the denoiser cross-attends each point
+    token to 4 replicated ctx tokens, so a point shard needs no
+    collectives). DDIM eta=0 + explicit x_T removes the rng from the chain,
+    so every mesh layout must agree numerically with the single-device run.
+    """
+    from difffacto_tpu.models.anchor_diff import decode
+
+    cfg = tiny_model_cfg()
+    cfg["diffusion"]["ddim_sampling"] = True
+    cfg["diffusion"]["ddim_eta"] = 0.0
+    cfg["diffusion"]["ddim_nsteps"] = 5
+    model = AnchorDiffAE(**cfg)
+    batch = tiny_batch(B=2)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sample": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, 0, method=AnchorDiffAE.loss)
+    )(rngs, batch)
+    fixed_id = jnp.zeros((model.num_anchors,), jnp.float32)
+    ctx, mean_pp, var_pp, seg_mask, vid, _ = model.apply(
+        variables, 4, fixed_id, jnp.ones((4, 4), jnp.float32), 0,
+        method=AnchorDiffAE.prepare_generation,
+        rngs={"sample": jax.random.PRNGKey(5)},
+    )
+    x_T = jax.random.normal(jax.random.PRNGKey(6), mean_pp.shape, jnp.float32)
+    kw = dict(
+        ctx=ctx, variance=var_pp, seg_mask=seg_mask, valid_id=vid,
+        noise=x_T, ret_traj=False,
+    )
+    ref = np.asarray(decode(model, variables, jax.random.PRNGKey(7), mean_pp, **kw)["pred"])
+    for shape in ((2, 4), (1, 8), (4, 2)):
+        mesh = make_mesh(axis_names=("data", "points"), mesh_shape=shape)
+        out = decode(
+            model, variables, jax.random.PRNGKey(8), mean_pp, mesh=mesh, **kw
+        )
+        got = np.asarray(out["pred"])
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6, err_msg=str(shape))
+
+
+def test_mesh_2d_constructor():
+    mesh = make_mesh(axis_names=("data", "points"), mesh_shape=(2, 4))
+    assert mesh.shape["data"] == 2 and mesh.shape["points"] == 4
+    # default points-only layout
+    mesh = make_mesh(axis_names=("data", "points"))
+    assert mesh.shape["data"] == 1 and mesh.shape["points"] == 8
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        make_mesh(axis_names=("data", "model"))
+    with pytest.raises(ValueError):
+        make_mesh(axis_names=("data", "points"), mesh_shape=(3, 2))
+
+
 def test_launcher_flag_and_initialize_distributed():
     """--launcher wiring (reference run_net.py:11-15): single-process init is
     a logged no-op, and the CLI accepts the launcher/sync_bn/local_rank
