@@ -71,6 +71,11 @@ class SyntheticPartDataset:
         ).clip(0.5, 1.5)
         self._has_arm = rng.rand(size) > part_drop_prob
         self._seeds = rng.randint(0, 2**31 - 1, size)
+        # Items are deterministic per index (fixed per-shape seeds), so cache
+        # them like the reference's in-proc cache (shapenet_seg.py:179-180,
+        # 225-226); only the CIMLE ``noise`` field mutates between epochs and
+        # is injected fresh at return time.
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def __len__(self):
         return self.size
@@ -82,6 +87,12 @@ class SyntheticPartDataset:
                 self.noises[int(idx)] = np.asarray(noises[i])
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cached = self._cache.get(index)
+        if cached is not None:
+            out = dict(cached)
+            noise = self.noises.get(index, np.zeros(1, np.float32))
+            out["noise"] = noise.astype(np.float32)
+            return out
         K = self.n_class
         rng = np.random.RandomState(self._seeds[index])
         parts = list(range(min(3, K)))
@@ -122,7 +133,7 @@ class SyntheticPartDataset:
 
         onehot = np.eye(K, dtype=np.float32)[seg]
         noise = self.noises.get(index, np.zeros(1, np.float32))
-        return {
+        item = {
             "present": present,
             "dp_present": present.copy(),
             "part_scale": scales,
@@ -139,6 +150,8 @@ class SyntheticPartDataset:
             "token": f"synthetic_{index}",
             "noise": noise.astype(np.float32),
         }
+        self._cache[index] = {k: v for k, v in item.items() if k != "noise"}
+        return item
 
     def evaluate(self, results, save_num_batch, device=None):
         from ..metrics.eval import evaluate_batches
