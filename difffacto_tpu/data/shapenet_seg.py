@@ -44,6 +44,10 @@ def _load_split_tokens(root: str, split: str) -> set:
 class ShapeNetSegPartDataset:
     """In-memory packed ShapeNet-Part category split."""
 
+    # attn_map/ref_attn_map are exactly eye(K)[seg_mask]; the runner may skip
+    # transferring them and rebuild on device (runner.device_batch slim_attn).
+    attn_from_seg = True
+
     def __init__(
         self,
         root: str,

@@ -36,6 +36,10 @@ _PART_SCALES = np.array(
 
 
 class SyntheticPartDataset:
+    # attn_map/ref_attn_map are exactly eye(K)[seg_mask]; the runner may skip
+    # transferring them and rebuild on device (runner.device_batch slim_attn).
+    attn_from_seg = True
+
     def __init__(
         self,
         npoints: int = 2048,

@@ -36,6 +36,33 @@ from .part_encoder import gather_per_point
 from .samplers import Uniform
 
 
+def ensure_attn_maps(batch):
+    """Rebuild one-hot part maps device-side from integer seg masks.
+
+    The hot datasets construct ``attn_map``/``ref_attn_map`` as exactly
+    ``eye(K)[seg_mask]`` (data/shapenet_seg.py, data/synthetic.py — the
+    reference does the same host-side, datasets/shapenet_seg.py:526-543), so
+    streaming the (B, N, K) float32 maps over the host->device link costs 4x
+    the point clouds themselves for no information.  ``Runner`` ships only
+    the int8 masks (``device_batch(slim_attn=True)``) and the jitted entry
+    points call this to expand them on device.  No-op when the maps are
+    already present; int masks are upcast to int32 either way.
+    """
+    if "seg_mask" not in batch and "ref_seg_mask" not in batch:
+        return batch
+    out = dict(batch)
+    K = out["present"].shape[-1] if "present" in out else None
+    for mask_key, map_key in (("seg_mask", "attn_map"), ("ref_seg_mask", "ref_attn_map")):
+        m = out.get(mask_key)
+        if m is None:
+            continue
+        if m.dtype != jnp.int32:
+            out[mask_key] = m = m.astype(jnp.int32)
+        if map_key not in out and K is not None:
+            out[map_key] = jax.nn.one_hot(m, K, dtype=jnp.float32)
+    return out
+
+
 def build_diffusion(diffusion_cfg: dict, num_timesteps: int) -> AnchoredDiffusion:
     """Build the pure-math diffusion object from its config (net key removed).
 
@@ -625,7 +652,7 @@ def reconstruct(
         def run(variables, batch, noise, epoch, rng):
             return model.apply(
                 variables,
-                batch,
+                ensure_attn_maps(batch),
                 noise,
                 epoch,
                 method=AnchorDiffAE.prepare_reconstruction,
@@ -668,7 +695,7 @@ def select_best_noise(
         def run(variables, batch, rng):
             return model.apply(
                 variables,
-                batch,
+                ensure_attn_maps(batch),
                 num,
                 method=AnchorDiffAE.sample_noise_candidates,
                 rngs={"sample": rng},

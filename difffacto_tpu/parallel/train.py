@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..models.anchor_diff import AnchorDiffAE
+from ..models.anchor_diff import AnchorDiffAE, ensure_attn_maps
 
 
 class TrainState(struct.PyTreeNode):
@@ -73,6 +73,7 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch, rng, epoch, axis_name=None):
+        batch = ensure_attn_maps(batch)
         if axis_name is not None:
             # per-device noise streams; params stay replicated because the
             # psum'd grads make the update identical everywhere

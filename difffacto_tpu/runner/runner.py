@@ -67,12 +67,23 @@ def cfgdict(x):
     return x.dump() if hasattr(x, "dump") else dict(x)
 
 
-def device_batch(batch: Dict) -> Dict:
-    """Numpy batch -> jnp arrays for the model (drops host-only keys)."""
+def device_batch(batch: Dict, slim_attn: bool = False) -> Dict:
+    """Numpy batch -> jnp arrays for the model (drops host-only keys).
+
+    ``slim_attn=True`` (datasets whose ``attn_from_seg`` attribute guarantees
+    ``attn_map == eye(K)[seg_mask]``) skips the (B, N, K) float32 one-hot
+    maps and ships the seg masks as int8 — the jitted entry points rebuild
+    the maps on device (``models.anchor_diff.ensure_attn_maps``).  At batch
+    128 x 2048 points this halves the per-step host->device traffic.
+    """
     out = {}
     for k in _BATCH_KEYS:
         if k in batch:
+            if slim_attn and k in ("attn_map", "ref_attn_map"):
+                continue
             v = np.asarray(batch[k])
+            if slim_attn and k in ("seg_mask", "ref_seg_mask"):
+                v = v.astype(np.int8)
             out[k] = jnp.asarray(v)
     return out
 
@@ -101,6 +112,14 @@ class Runner:
         self.train_loader, _ = build_from_cfg(cfgdict(cfg.dataset.train), DATASETS)
         self.val_loader, _ = build_from_cfg(cfgdict(cfg.dataset.val), DATASETS)
         self.iters_per_epoch = max(len(self.train_loader), 1)
+        # Datasets that guarantee attn_map == eye(K)[seg_mask] opt in to the
+        # slim host->device batch (one-hot maps rebuilt on device).
+        self._slim_train = bool(
+            getattr(getattr(self.train_loader, "dataset", None), "attn_from_seg", False)
+        )
+        self._slim_val = bool(
+            getattr(getattr(self.val_loader, "dataset", None), "attn_from_seg", False)
+        )
 
         # optimizer: reference's train_aligner / joint_train param groups
         # (runner.py:76-94) become a trainable filter / per-path lr scale
@@ -247,7 +266,7 @@ class Runner:
         if profiling:
             jax.profiler.start_trace(os.path.join(self.work_dir, "profile"))
         for i, batch in enumerate(self.train_loader):
-            db = shard_batch(self.mesh, device_batch(batch))
+            db = shard_batch(self.mesh, device_batch(batch, self._slim_train))
             self.state, metrics = self._step_fn(self.state, db, rng, self.epoch)
             self.iter += 1
             if check_interval(self.iter, self.log_interval):
@@ -273,7 +292,7 @@ class Runner:
         variables = self.state.variables()
         for batch in self.train_loader:
             rng, sub = jax.random.split(rng)
-            db = device_batch(batch)
+            db = device_batch(batch, self._slim_train)
             _, _, selected = select_best_noise(self.model, variables, sub, db)
             all_noise.append(np.asarray(selected))
             all_ids.append(np.asarray(batch["id"]))
@@ -283,7 +302,7 @@ class Runner:
     def _eval_batch(self, batch, rng) -> List[Tuple[Dict, str]]:
         """Eval forward for one batch (anchor_gen.py:1034-1128)."""
         variables = self.state.variables()
-        db = device_batch(batch)
+        db = device_batch(batch, self._slim_val)
         B = db["ref"].shape[0]
         K = self.model.cimle_sample_num if self.model.cimle else 1
         if self.model.gen:

@@ -357,3 +357,45 @@ def test_trainable_filter_freezes():
             moved_non_aligner += delta
     assert moved_aligner > 0
     assert moved_non_aligner == 0.0
+
+
+def test_slim_batch_matches_full_batch():
+    """device_batch(slim_attn=True) + on-device one-hot expansion is
+    bit-identical to shipping the host-built attn maps (the reference always
+    ships host maps, datasets/shapenet_seg.py:526-543)."""
+    from difffacto_tpu.models.anchor_diff import ensure_attn_maps
+    from difffacto_tpu.runner.runner import device_batch
+
+    model, variables, batch = init_model()
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    slim = device_batch(host, slim_attn=True)
+    assert "attn_map" not in slim and "ref_attn_map" not in slim
+    assert slim["seg_mask"].dtype == jnp.int8
+
+    expanded = ensure_attn_maps(slim)
+    np.testing.assert_array_equal(np.asarray(expanded["attn_map"]), host["attn_map"])
+    np.testing.assert_array_equal(
+        np.asarray(expanded["ref_attn_map"]), host["ref_attn_map"]
+    )
+    assert expanded["seg_mask"].dtype == jnp.int32
+
+    tx = build_optimizer_from_cfg(
+        dict(type="Adam", lr=1e-3, weight_decay=0.0),
+        iters_per_epoch=1,
+        max_norm=10.0,
+    )
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(0)
+    s_full, m_full = step(state, device_batch(host, slim_attn=False), rng, 0)
+    s_slim, m_slim = step(state, slim, rng, 0)
+    for k in m_full:
+        np.testing.assert_allclose(
+            np.asarray(m_full[k]), np.asarray(m_slim[k]), rtol=1e-6, err_msg=k
+        )
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_full.params, s_slim.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) == 0.0
