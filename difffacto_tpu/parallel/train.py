@@ -49,12 +49,40 @@ def parse_losses(losses: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict[str,
     return total, means
 
 
+def unpack_batch(packed: Dict, spec) -> Dict:
+    """Inverse of ``runner.pack_batch`` — inside jit, so the column slices
+    and reshapes are free layout views, not copies.  Seg masks come back as
+    int32 and the one-hot attn maps are rebuilt if the spec dropped them."""
+    f_entries, _, i_entries, _ = spec
+    f = packed["f32"]
+    B = f.shape[0]
+    out = {}
+    for k, off, shp in f_entries:
+        n = 1
+        for d in shp:
+            n *= d
+        out[k] = jax.lax.slice_in_dim(f, off, off + n, axis=1).reshape((B,) + shp)
+    if i_entries:
+        i8 = packed["i8"]
+        for k, off, shp in i_entries:
+            n = 1
+            for d in shp:
+                n *= d
+            out[k] = (
+                jax.lax.slice_in_dim(i8, off, off + n, axis=1)
+                .reshape((B,) + shp)
+                .astype(jnp.int32)
+            )
+    return ensure_attn_maps(out)
+
+
 def make_train_step(
     model: AnchorDiffAE,
     tx: optax.GradientTransformation,
     trainable_filter: Optional[Callable[[Tuple[str, ...]], bool]] = None,
     donate: bool = True,
     mesh=None,
+    pack_spec=None,
 ):
     """Build the jitted train step.
 
@@ -73,7 +101,10 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch, rng, epoch, axis_name=None):
-        batch = ensure_attn_maps(batch)
+        if pack_spec is not None:
+            batch = unpack_batch(batch, pack_spec)
+        else:
+            batch = ensure_attn_maps(batch)
         if axis_name is not None:
             # per-device noise streams; params stay replicated because the
             # psum'd grads make the update identical everywhere
@@ -111,10 +142,29 @@ def make_train_step(
                 else jnp.zeros_like(g),
                 grads,
             )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # Non-finite guard: one bad batch/step must not poison a multi-day
+        # run — if the loss or any grad is non-finite, skip the whole update
+        # (params, optimizer state, batch stats all keep their old values)
+        # and surface it via the 'skipped_nonfinite' metric. The reference
+        # has no such guard and a single overflow kills the run.
+        finite = jnp.isfinite(total) & jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.bool_(True)
+        )
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        keep_old = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
+        new_params = keep_old(new_params, state.params)
+        new_opt = keep_old(new_opt, state.opt_state)
         metrics["total_loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        if new_stats:
+            new_stats = keep_old(new_stats, state.batch_stats)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

@@ -88,6 +88,63 @@ def device_batch(batch: Dict, slim_attn: bool = False) -> Dict:
     return out
 
 
+def make_pack_spec(batch: Dict, slim_attn: bool = False):
+    """Layout for packing a host batch into TWO per-example arrays.
+
+    Per-step host->device traffic through a transfer link pays a fixed cost
+    per array; a standard batch is ~9 separate arrays.  Packing every float
+    field into one (B, F) float32 buffer and the integer seg masks into one
+    (B, I) int8 buffer makes it two transfers, unpacked inside the jitted
+    step by free slice/reshape views (``parallel.train.unpack_batch``).
+
+    Returns ``(float_entries, F, int_entries, I)`` with entries
+    ``(key, offset, item_shape)``, or None when the batch has a field that
+    doesn't fit the scheme (e.g. language token ids) — caller falls back to
+    per-array transfers.  With ``slim_attn`` the one-hot attn maps are
+    dropped (rebuilt on device from the masks, see ``ensure_attn_maps``).
+    """
+    f_entries, i_entries = [], []
+    f_off = i_off = 0
+    for k in _BATCH_KEYS:
+        if k not in batch:
+            continue
+        if slim_attn and k in ("attn_map", "ref_attn_map"):
+            continue
+        v = np.asarray(batch[k])
+        n = int(np.prod(v.shape[1:], dtype=np.int64))
+        if k in ("seg_mask", "ref_seg_mask"):
+            if v.max(initial=0) > 127:
+                return None
+            i_entries.append((k, i_off, tuple(v.shape[1:])))
+            i_off += n
+        elif np.issubdtype(v.dtype, np.floating):
+            f_entries.append((k, f_off, tuple(v.shape[1:])))
+            f_off += n
+        else:
+            return None
+    if not f_entries:
+        return None
+    return (tuple(f_entries), f_off, tuple(i_entries), i_off)
+
+
+def pack_batch(batch: Dict, spec) -> Dict:
+    """Host batch -> {'f32': (B, F), 'i8': (B, I)} per make_pack_spec."""
+    f_entries, F, i_entries, I = spec
+    B = len(np.asarray(batch[f_entries[0][0]]))
+    fbuf = np.empty((B, F), np.float32)
+    for k, off, shp in f_entries:
+        n = int(np.prod(shp, dtype=np.int64))
+        fbuf[:, off : off + n] = np.asarray(batch[k], np.float32).reshape(B, -1)
+    out = {"f32": jnp.asarray(fbuf)}
+    if i_entries:
+        ibuf = np.empty((B, I), np.int8)
+        for k, off, shp in i_entries:
+            n = int(np.prod(shp, dtype=np.int64))
+            ibuf[:, off : off + n] = np.asarray(batch[k]).reshape(B, -1)
+        out["i8"] = jnp.asarray(ibuf)
+    return out
+
+
 class Runner:
     def __init__(self, args=None, cfg=None):
         self.cfg = cfg if cfg is not None else get_cfg()
@@ -163,9 +220,11 @@ class Runner:
                 )
         # >1 device: shard_map step (device-local Pallas kernels, psum'd
         # grads over ICI); single device: plain jit.
+        self._trainable_filter = trainable_filter
+        self._step_mesh = self.mesh if n_dev > 1 else None
         self._step_fn = make_train_step(
             self.model, self.tx, trainable_filter=trainable_filter,
-            mesh=self.mesh if n_dev > 1 else None,
+            mesh=self._step_mesh,
         )
 
         # state init from one example batch (subclasses override _init_variables
@@ -256,23 +315,73 @@ class Runner:
             if check_interval(self.epoch, self.checkpoint_interval):
                 self.save()
 
+    def _train_transfer(self):
+        """(step_fn, host_batch -> device pytree) for the train loop.
+
+        On the first call, tries to derive a pack spec from one host batch
+        (``make_pack_spec``): if the batch fits the two-buffer scheme, a
+        pack-aware step is built and each iteration ships ONE f32 + ONE int8
+        array instead of ~9 separate transfers.  ``DIFFFACTO_PACK_BATCH=0``
+        falls back to per-array transfers.
+        """
+        if not hasattr(self, "_train_xfer"):
+            spec = None
+            if os.environ.get("DIFFFACTO_PACK_BATCH", "1") != "0":
+                try:
+                    spec = make_pack_spec(next(iter(self.train_loader)), self._slim_train)
+                except Exception:
+                    spec = None
+            if spec is not None:
+                # Memoize the pack-aware step per spec: the spec changes when
+                # a field's width changes (e.g. the CIMLE noise column after
+                # the first cache_noise), and a fresh make_train_step closure
+                # would re-trace even for an already-seen layout.
+                cache = self.__dict__.setdefault("_packed_steps", {})
+                fn = cache.get(spec)
+                if fn is None:
+                    fn = cache[spec] = make_train_step(
+                        self.model, self.tx, trainable_filter=self._trainable_filter,
+                        mesh=self._step_mesh, pack_spec=spec,
+                    )
+                self._train_xfer = (fn, lambda b: pack_batch(b, spec))
+            else:
+                self._train_xfer = (
+                    self._step_fn,
+                    lambda b: device_batch(b, self._slim_train),
+                )
+        return self._train_xfer
+
     def train(self):
         rng = jax.random.PRNGKey(self.seed + 7919)
-        t0 = time.time()
+        # ips is a rolling rate over the last log window (not per-epoch:
+        # small datasets have few steps per epoch, which made the per-epoch
+        # rate mostly measure the epoch-boundary overhead).
+        if not hasattr(self, "_rate_t"):
+            self._rate_t, self._rate_iter = time.time(), self.iter
         # jax.profiler trace (replaces the reference's absent tracing story,
         # SURVEY.md §5.1): cfg.profile_epoch triggers one traced epoch dumped
         # under work_dir/profile.
         profiling = self.cfg.profile_epoch is not None and self.epoch == self.cfg.profile_epoch
         if profiling:
             jax.profiler.start_trace(os.path.join(self.work_dir, "profile"))
-        for i, batch in enumerate(self.train_loader):
-            db = shard_batch(self.mesh, device_batch(batch, self._slim_train))
-            self.state, metrics = self._step_fn(self.state, db, rng, self.epoch)
+        step_fn, to_device = self._train_transfer()
+        it = iter(self.train_loader)
+        pending = next(it, None)
+        pending = to_device(pending) if pending is not None else None
+        while pending is not None:
+            db = shard_batch(self.mesh, pending)
+            self.state, metrics = step_fn(self.state, db, rng, self.epoch)
+            # One-ahead prefetch: the device executes the (async-dispatched)
+            # step while the host collates + transfers the next batch.
+            nxt = next(it, None)
+            pending = to_device(nxt) if nxt is not None else None
             self.iter += 1
             if check_interval(self.iter, self.log_interval):
                 logd = {k: float(v) for k, v in metrics.items()}
                 logd["epoch"] = self.epoch
-                logd["ips"] = (i + 1) / (time.time() - t0)
+                now = time.time()
+                logd["ips"] = (self.iter - self._rate_iter) / max(now - self._rate_t, 1e-9)
+                self._rate_t, self._rate_iter = now, self.iter
                 self.logger.log(logd, step=self.iter, total_steps=self.total_iter)
         if profiling:
             jax.tree_util.tree_map(
@@ -294,9 +403,15 @@ class Runner:
             rng, sub = jax.random.split(rng)
             db = device_batch(batch, self._slim_train)
             _, _, selected = select_best_noise(self.model, variables, sub, db)
-            all_noise.append(np.asarray(selected))
+            # A single non-finite cached noise would poison every later step
+            # that trains on that shape; zero is the distribution mean and a
+            # safe fallback.
+            all_noise.append(np.nan_to_num(np.asarray(selected), nan=0.0, posinf=0.0, neginf=0.0))
             all_ids.append(np.asarray(batch["id"]))
         self.train_loader.dataset.store_noise(all_noise, all_ids)
+        # The cached noise changes the per-item 'noise' width -> the packed
+        # layout must be re-derived (memoized per spec above).
+        self.__dict__.pop("_train_xfer", None)
 
     # ----------------------------------------------------------------- val
     def _eval_batch(self, batch, rng) -> List[Tuple[Dict, str]]:

@@ -36,6 +36,15 @@ def enable_compile_cache(path: str = None):
     path = path or os.environ.get(
         "DIFFFACTO_COMPILE_CACHE", os.path.expanduser("~/.cache/difffacto_jax")
     )
+    # Separate cache per platform: a remote-device tunnel process writes
+    # CPU-AOT entries compiled for the REMOTE host's CPU features; loading
+    # those into a local CPU-only process trips feature-mismatch warnings
+    # and risks SIGILL. (jax keys entries by program, not by executing CPU.)
+    # Read the CONFIGURED platform rather than jax.default_backend(): the
+    # latter initializes the backend, and callers (conftest, dryrun) must
+    # still be able to switch platforms after enabling the cache.
+    platform = (getattr(jax.config, "jax_platforms", None) or "default").split(",")[0]
+    path = os.path.join(path, platform)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

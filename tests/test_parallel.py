@@ -399,3 +399,102 @@ def test_slim_batch_matches_full_batch():
         lambda a, b: float(jnp.abs(a - b).max()), s_full.params, s_slim.params
     )
     assert max(jax.tree_util.tree_leaves(deltas)) == 0.0
+
+
+def test_packed_batch_matches_full_batch():
+    """pack_batch (2 transfers) + in-jit unpack == per-array transfers."""
+    from difffacto_tpu.runner.runner import device_batch, make_pack_spec, pack_batch
+    from difffacto_tpu.parallel.train import unpack_batch
+
+    model, variables, batch = init_model()
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    spec = make_pack_spec(host, slim_attn=True)
+    assert spec is not None
+    packed = pack_batch(host, spec)
+    assert set(packed) == {"f32", "i8"}
+    assert packed["f32"].dtype == jnp.float32 and packed["i8"].dtype == jnp.int8
+
+    # roundtrip: unpack reproduces every field (incl. rebuilt one-hot maps)
+    un = jax.jit(lambda p: unpack_batch(p, spec))(packed)
+    for k, v in host.items():
+        np.testing.assert_array_equal(np.asarray(un[k]), v, err_msg=k)
+
+    # un-packable batches (e.g. language token ids) are rejected
+    assert make_pack_spec({**host, "text": np.zeros((2, 5), np.int32)}) is None
+
+    tx = build_optimizer_from_cfg(
+        dict(type="Adam", lr=1e-3, weight_decay=0.0), iters_per_epoch=1, max_norm=10.0
+    )
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    rng = jax.random.PRNGKey(0)
+    step_full = make_train_step(model, tx, donate=False)
+    step_pack = make_train_step(model, tx, donate=False, pack_spec=spec)
+    s1, m1 = step_full(state, device_batch(host), rng, 0)
+    s2, m2 = step_pack(state, packed, rng, 0)
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m2[k]), rtol=1e-6, err_msg=k
+        )
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) == 0.0
+
+
+def test_packed_batch_shard_map_runs():
+    """Packed batches shard over the data axis like any other batch."""
+    from difffacto_tpu.runner.runner import make_pack_spec, pack_batch
+
+    model, variables, batch = init_model(B=8)
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    spec = make_pack_spec(host, slim_attn=True)
+    packed = pack_batch(host, spec)
+    mesh = make_mesh(jax.devices())
+    tx = build_optimizer_from_cfg(
+        dict(type="Adam", lr=1e-3, weight_decay=0.0), iters_per_epoch=1, max_norm=10.0
+    )
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    state = jax.tree_util.tree_map(lambda x: replicate(mesh, x), state)
+    sb = shard_batch(mesh, packed)
+    step = make_train_step(model, tx, donate=False, mesh=mesh, pack_spec=spec)
+    s1, metrics = step(state, sb, jax.random.PRNGKey(0), 0)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(s1.step) == 1
+
+
+def test_nonfinite_guard_skips_update():
+    """A batch that produces non-finite loss/grads must leave params,
+    optimizer state, and batch stats untouched (skipped_nonfinite=1); a
+    healthy batch still updates (skipped_nonfinite=0)."""
+    model, variables, batch = init_model()
+    tx = build_optimizer_from_cfg(
+        dict(type="Adam", lr=1e-3, weight_decay=0.0), iters_per_epoch=1, max_norm=10.0
+    )
+    from difffacto_tpu.parallel.train import TrainState
+
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(0)
+
+    bad = dict(batch)
+    bad["input"] = batch["input"].at[0, 0, 0].set(jnp.nan)
+    bad["ref"] = bad["input"]
+    s_bad, m_bad = step(state, bad, rng, 0)
+    assert float(m_bad["skipped_nonfinite"]) == 1.0
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, s_bad.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) == 0.0
+    assert int(s_bad.step) == 1  # step counter still advances
+
+    s_ok, m_ok = step(s_bad, batch, rng, 0)
+    assert float(m_ok["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m_ok["total_loss"]))
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_bad.params, s_ok.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0.0

@@ -60,13 +60,15 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from difffacto_tpu.utils import enable_compile_cache
-
-    enable_compile_cache()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # After the platform switch: the persistent cache dir is keyed per
+    # platform (remote-tunnel CPU-AOT entries are not feature-safe locally).
+    from difffacto_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.launcher != "none":
         from difffacto_tpu.parallel import initialize_distributed
