@@ -51,6 +51,80 @@ def test_runner_resume(tiny_cfg):
     assert runner2.epoch == 3
 
 
+def test_two_stage_transition(tmp_path):
+    """Stage-1 -> stage-2 wiring: a checkpoint trained WITHOUT the part
+    aligner (use_gt_params=True, reference configs/train_chair_stage1.py)
+    restores model_only into the FULL model (aligner params kept at init via
+    the shape/name-tolerant partial load, reference runner.py:492-522) and
+    stage 2 trains only the aligner (train_chair_stage2.py:155-157)."""
+    import jax
+    import jax.numpy as jnp
+    from difffacto_tpu.config import Config
+    from difffacto_tpu.runner import Runner
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "configs/tiny_gen.py")
+
+    # stage 1: no aligner, denoiser conditioned on gt params, no CIMLE
+    cfg1 = Config(cfg_path)
+    cfg1.work_dir = str(tmp_path / "stage1")
+    cfg1.model["encoder"]["part_aligner"] = None
+    cfg1.model["encoder"]["use_gt_params"] = True
+    cfg1.model["cimle"] = False
+    cfg1.cimle = False
+    cfg1.cimle_cache_interval = None
+    runner1 = Runner(cfg=cfg1)
+    runner1.no_eval = True
+    runner1.run()
+    ckpt = os.path.join(runner1.work_dir, "checkpoints", "ckpt_2.msgpack")
+    assert os.path.exists(ckpt)
+    s1_params = jax.device_get(runner1.state.params)
+
+    # stage 2: full model (with aligner), model_only resume, aligner-only opt
+    cfg2 = Config(cfg_path)
+    cfg2.work_dir = str(tmp_path / "stage2")
+    cfg2.model_only = True
+    cfg2.resume_path = ckpt
+    cfg2.train_aligner = True
+    runner2 = Runner(cfg=cfg2)
+    assert runner2.epoch == 0  # model_only must not restore epoch/iter
+
+    # shared (encoder) weights carried over from stage 1 exactly
+    def leaves_with_path(tree):
+        return {
+            tuple(getattr(k, "key", str(k)) for k in path): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    s1 = leaves_with_path(s1_params)
+    s2 = leaves_with_path(jax.device_get(runner2.state.params))
+    carried = 0
+    for path, v2 in s2.items():
+        if any("aligner" in str(p) for p in path):
+            continue  # absent from the stage-1 ckpt: stays at init
+        assert path in s1, path
+        np.testing.assert_array_equal(s1[path], v2, err_msg=str(path))
+        carried += 1
+    assert carried > 0
+
+    # stage 2 trains (aligner-only grad filter) without error
+    runner2.no_eval = True
+    runner2.run()
+    assert runner2.epoch == 2
+    s2_after = leaves_with_path(jax.device_get(runner2.state.params))
+    moved_aligner = sum(
+        float(np.abs(s2_after[p] - s2[p]).sum())
+        for p in s2
+        if any("aligner" in str(x) for x in p)
+    )
+    moved_other = sum(
+        float(np.abs(s2_after[p] - s2[p]).sum())
+        for p in s2
+        if not any("aligner" in str(x) for x in p)
+    )
+    assert moved_aligner > 0
+    assert moved_other == 0.0
+
+
 def test_val_gen_protocol(tiny_cfg):
     from difffacto_tpu.runner import Runner
 
