@@ -38,3 +38,8 @@ dataset = dict(
 max_epoch = 2000
 checkpoint_interval = 400
 log_interval = 200
+
+# Spike guard: the first 2000-epoch run degraded permanently at ~ep 1880
+# (grad_norm 0.1 -> 7e5 in one window; mse 0.78 -> 1.03 and never recovered
+# despite max_norm=10 clipping). Skip finite-but-pathological steps outright.
+skip_grad_norm = 1e4

@@ -17,7 +17,12 @@ work_dir = "work_dirs/bench_train_xl_stage2"
 
 model = dict(
     encoder=dict(part_aligner=dict(noise_scale=50)),
-    cimle_sample_num=1,
+    # Reference default (anchor_gen.py:44): 10 CIMLE hypotheses, cache keeps
+    # the best-fit one. A first run with cimle_sample_num=1 (inherited from
+    # the gen config) never converged: with no best-of-k selection the
+    # aligner chases arbitrary noise_scale=50 draws (fit_loss oscillated
+    # 150-320 for 350 epochs, grad norms ~1e11).
+    cimle_sample_num=10,
 )
 
 dataset = dict(
@@ -27,9 +32,14 @@ dataset = dict(
 
 model_only = True
 train_aligner = True
-resume_path = "work_dirs/bench_train_xl_stage1/checkpoints/ckpt_2000"
+# ckpt_1600, not ckpt_2000: stage 1 spiked at ~ep 1880 and its last 120
+# epochs are degraded (see stage-1 config note); 1600 is the best healthy
+# checkpoint (mse 0.765, grad_norm 0.06).
+resume_path = "work_dirs/bench_train_xl_stage1/checkpoints/ckpt_1600"
 
 max_epoch = 1000
 checkpoint_interval = 100
 log_interval = 200
 cimle_cache_interval = 60
+
+skip_grad_norm = 1e4

@@ -166,8 +166,17 @@ class AnchorDiffAE(nn.Module):
         )
 
     # -------------------------------------------------------------- training
-    def loss(self, batch: Dict[str, jnp.ndarray], epoch=0) -> Dict[str, jnp.ndarray]:
-        """Full training loss (anchor_gen.py:970-1023), one jittable program."""
+    def loss(
+        self, batch: Dict[str, jnp.ndarray], epoch=0, train: bool = True
+    ) -> Dict[str, jnp.ndarray]:
+        """Full training loss (anchor_gen.py:970-1023), one jittable program.
+
+        ``train=False`` runs the same loss with eval-mode normalization
+        (BN running stats, no dropout): deterministic per-sample math, used
+        for val-loss reporting and the sharding numerical-equivalence gates
+        (train-mode BN batch statistics amplify f32 reduction-order noise,
+        see tests/test_parallel.py::test_sp_loss_grads_match_single_device).
+        """
         ref = batch["ref"]
         seg_mask = batch["ref_seg_mask"].astype(jnp.int32)
         valid_id = batch.get("present")
@@ -175,7 +184,7 @@ class AnchorDiffAE(nn.Module):
         B, N, _ = ref.shape
 
         ctx, mean_pp, logvar_pp, flag_pp, loss_dict, latents = self.encoder_mod(
-            batch, epoch=epoch, train=True
+            batch, epoch=epoch, train=train
         )
         if self.zero_anchors:
             mean_pp = jnp.zeros_like(mean_pp)
@@ -186,14 +195,19 @@ class AnchorDiffAE(nn.Module):
         if self.detach_anchor:
             mean_pp = jax.lax.stop_gradient(mean_pp)
 
-        t, _ = self.t_sampler.sample(self.make_rng("sample"), B)
+        # Optional batch overrides (mirrors the reference training_losses'
+        # noise= parameter, anchored_diffusion.py:760-771): deterministic
+        # replay for tests and the sp/dp numerical-equivalence gates.
+        t = batch.get("diffusion_t")
+        if t is None:
+            t, _ = self.t_sampler.sample(self.make_rng("sample"), B)
 
         dp_flags = None
         if dp_valid_id is not None:
             dp_flags = gather_per_point(dp_valid_id[..., None], seg_mask)[..., 0]
 
         def model_fn(inp, ts, c, anc, var, seg, vid):
-            return self.denoise(inp, ts, c, anc, var, seg, vid, train=True)
+            return self.denoise(inp, ts, c, anc, var, seg, vid, train=train)
 
         x0 = batch["input"] if self.use_input else ref
         diff_losses = self.diff.training_losses(
@@ -207,6 +221,7 @@ class AnchorDiffAE(nn.Module):
             seg_mask=seg_mask,
             valid_id=dp_valid_id,
             flags=dp_flags,
+            noise=batch.get("diffusion_noise"),
         )
         diff_losses["mse_loss"] = self.diffusion_loss_weight * diff_losses["mse_loss"]
         loss_dict.update(diff_losses)

@@ -38,6 +38,7 @@ from ..ops.schedule import (
     make_beta_schedule,
     make_schedule,
 )
+from ..parallel.axes import fold_points, psum_points, sp_size
 from ..utils.gaussian import gaussian_log_likelihood, normal_kl
 from ..utils.registry import DIFFUSIONS
 
@@ -431,11 +432,13 @@ class AnchoredDiffusion:
         ).sum(-1)
         if flags is not None:
             f = flags.reshape(flags.shape[0], -1)
-            kl = (kl * f).sum(1) / (f.sum(1) * math.log(2.0))
-            nll = (nll * f).sum(1) / (f.sum(1) * math.log(2.0))
+            fsum = psum_points(f.sum(1))
+            kl = psum_points((kl * f).sum(1)) / (fsum * math.log(2.0))
+            nll = psum_points((nll * f).sum(1)) / (fsum * math.log(2.0))
         else:
-            kl = kl.mean(-1) / math.log(2.0)
-            nll = nll.mean(-1) / math.log(2.0)
+            npts = kl.shape[-1] * sp_size()
+            kl = psum_points(kl.sum(-1)) / (npts * math.log(2.0))
+            nll = psum_points(nll.sum(-1)) / (npts * math.log(2.0))
         return jnp.where(t == 0, nll, kl)
 
     def training_losses(
@@ -462,7 +465,9 @@ class AnchoredDiffusion:
         if anchors is None:
             anchors = jnp.zeros_like(x_start)
         if noise is None:
-            noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
+            # Per-point noise: decorrelate across point shards (replicated
+            # draws like timesteps come from the unfolded stream upstream).
+            noise = jax.random.normal(fold_points(rng), x_start.shape, x_start.dtype)
         nd = x_start.ndim
         ori_anchors = anchors
         anchors_eff = self._anchors(anchors)
@@ -475,7 +480,9 @@ class AnchoredDiffusion:
 
         if self.model_var_type in (LEARNED, LEARNED_RANGE):
             model_output, model_var_values = jnp.split(model_output, 2, axis=-1)
-            loss_dict["model_var_value"] = model_var_values.mean()
+            loss_dict["model_var_value"] = psum_points(model_var_values.sum()) / (
+                model_var_values.size * sp_size()
+            )
             frozen = jnp.concatenate(
                 [jax.lax.stop_gradient(model_output), model_var_values], axis=-1
             )
@@ -507,9 +514,9 @@ class AnchoredDiffusion:
             diff = diff * flags[..., None]
         if reduce:
             if flags is not None:
-                diff = diff.mean(-1).sum() / flags.sum()
+                diff = psum_points(diff.mean(-1).sum()) / psum_points(flags.sum())
             else:
-                diff = diff.mean()
+                diff = psum_points(diff.sum()) / (diff.size * sp_size())
         if self.scale_loss:
             b = extract(s.betas, t, diff.ndim if hasattr(diff, "ndim") else 1)
             acp = extract(s.alphas_cumprod, t, diff.ndim if hasattr(diff, "ndim") else 1)

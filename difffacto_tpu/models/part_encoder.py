@@ -25,6 +25,7 @@ from ..utils.gaussian import (
     gaussian_log_likelihood,
     reparameterize_gaussian,
 )
+from ..parallel.axes import fold_points, psum_points
 from ..utils.registry import ENCODERS, build_from_cfg
 from .flow import PerPartFlow
 
@@ -181,7 +182,7 @@ class PartEncoder(nn.Module):
         t = self.fit_loss_type
         if t == 0:
             ll = -gaussian_log_likelihood(ref, mean_pp, logvar_pp).mean(-1)
-            return (ll * flag_pp).sum(-1) / flag_pp.sum(-1)
+            return psum_points((ll * flag_pp).sum(-1)) / psum_points(flag_pp.sum(-1))
         if t == 1:
             err = (
                 jnp.concatenate([mean, jnp.exp(logvar)], axis=-1)
@@ -200,12 +201,12 @@ class PartEncoder(nn.Module):
             gt_mean_pp = gather_per_point(gt_shift, seg_mask)
             gt_var_pp = gather_per_point(gt_var, seg_mask)
             samples = (
-                jax.random.normal(self.make_rng("sample"), gt_var_pp.shape, ref.dtype)
+                jax.random.normal(fold_points(self.make_rng("sample")), gt_var_pp.shape, ref.dtype)
                 * jnp.sqrt(gt_var_pp)
                 + gt_mean_pp
             )
             ll = -gaussian_log_likelihood(samples, mean_pp, logvar_pp).mean(-1)
-            return (ll * flag_pp).sum(-1) / flag_pp.sum(-1)
+            return psum_points((ll * flag_pp).sum(-1)) / psum_points(flag_pp.sum(-1))
         if t == 4:
             err = (
                 jnp.concatenate([mean, logvar], axis=-1)

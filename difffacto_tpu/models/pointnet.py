@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..nn.layers import ConvBNReLUStack, TorchBatchNorm
+from ..parallel.axes import allmax_points
 from ..utils.registry import ENCODERS
 
 
@@ -65,7 +66,7 @@ class PointNetV2(nn.Module):
         weighted = h[:, :, None, :] * attn_weight[:, :, :, None].astype(h.dtype)
         if self.reweight_by_anchor:
             weighted = weighted * K
-        pooled = jnp.max(weighted, axis=1)  # (B, K, 512)
+        pooled = allmax_points(jnp.max(weighted, axis=1))  # (B, K, 512)
 
         if self.per_part_mlp:
             head = nn.vmap(
@@ -102,7 +103,7 @@ class PointNetVAEBase(nn.Module):
         )(points, train=train)
         if mask is not None:
             h = jnp.where(mask[..., None], -jnp.inf, h)
-        g = jnp.max(h, axis=1)
+        g = allmax_points(jnp.max(h, axis=1))
         g = jnp.nan_to_num(g, neginf=0.0)
         m = _HeadMLP(self.zdim, dtype=self.dtype, name="mlp_m")(g, train)
         v = _HeadMLP(self.zdim, dtype=self.dtype, name="mlp_v")(g, train)
@@ -124,7 +125,7 @@ class PointNetVAE(nn.Module):
         h = ConvBNReLUStack(
             (128, 128, 256, 512), relu_last=False, dtype=self.dtype, name="pnet"
         )(points, train=train)
-        g = jnp.max(h, axis=1)
+        g = allmax_points(jnp.max(h, axis=1))
         m = _HeadMLP(self.zdim * self.num_anchors, dtype=self.dtype, name="mlp_m")(g, train)
         v = _HeadMLP(self.zdim * self.num_anchors, dtype=self.dtype, name="mlp_v")(g, train)
         return (
@@ -173,7 +174,9 @@ class PointNetV2Variant(nn.Module):
             (128, 128, 256, 512), relu_last=False, dtype=self.dtype, name="pnet"
         )(points, train=train)
         weighted = h[:, :, None, :] * seg_flag[..., None] - (1 - seg_flag[..., None]) * 1e9
-        pooled = jnp.nan_to_num(jnp.max(weighted, axis=1), nan=0.0, posinf=0.0, neginf=0.0)
+        pooled = jnp.nan_to_num(
+            allmax_points(jnp.max(weighted, axis=1)), nan=0.0, posinf=0.0, neginf=0.0
+        )
         if self.per_part_mlp:
             head = nn.vmap(
                 _HeadMLP,
@@ -219,8 +222,8 @@ class PointNetV3(nn.Module):
         weighted = h[:, :, None, :] * attn_weight[..., None]
         if self.reweight_by_anchor:
             weighted = weighted * K
-        pooled = jnp.max(weighted, axis=1)  # (B, K, 256m)
-        g = jnp.broadcast_to(jnp.max(h, axis=1)[:, None], pooled.shape)
+        pooled = allmax_points(jnp.max(weighted, axis=1))  # (B, K, 256m)
+        g = jnp.broadcast_to(allmax_points(jnp.max(h, axis=1))[:, None], pooled.shape)
         x = jnp.concatenate([g, pooled], axis=-1)  # (B, K, 512m)
         m = _HeadMLP(self.zdim, dtype=self.dtype, name="mlp_m")(x, train)
         return m
@@ -240,6 +243,6 @@ class PointNet(nn.Module):
         h = ConvBNReLUStack(
             (128, 128, 256, 512), relu_last=False, dtype=self.dtype, name="pnet"
         )(points, train=train)
-        g = jnp.max(h, axis=1)
+        g = allmax_points(jnp.max(h, axis=1))
         m = _HeadMLP(self.zdim * self.num_anchors, dtype=self.dtype, name="mlp_m")(g, train)
         return m.reshape(points.shape[0], self.num_anchors, self.zdim)

@@ -278,12 +278,20 @@ class TorchBatchNorm(nn.Module):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
+        # Under a sequence-parallel train step the batch statistics must span
+        # ALL point shards of the (B, N) slab, or train-mode normalization
+        # (and therefore the loss) would depend on the mesh layout. The data
+        # axis intentionally stays local — reference DataParallel BN is also
+        # per-replica (runner.py:62-66 SyncBN is opt-in), and the train step
+        # pmean-merges the running stats after the update.
+        from ..parallel.axes import point_axis
+
         return nn.BatchNorm(
             use_running_average=ura,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
-            axis_name=None,
+            axis_name=point_axis(),
         )(x)
 
 

@@ -64,19 +64,42 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch dict onto the mesh, batch-dim sharded.
 
-    A ragged final batch (size not divisible by the mesh) falls back to
-    replicated placement — correct, just not sharded.
+    On a 2-D ('data', 'points') mesh, point-axis arrays (see
+    ``parallel.train.POINT_AXIS_BATCH_KEYS``) additionally shard their
+    second dimension over 'points'. A ragged final batch (size not
+    divisible by the mesh) falls back to replicated placement — correct,
+    just not sharded.
     """
-    sh = data_sharding(mesh)
     rep = replicated(mesh)
-    n = mesh.devices.size
+    has_points = "points" in mesh.axis_names and mesh.shape["points"] > 1
+    nd = mesh.shape[mesh.axis_names[0]]
+    np_ = mesh.shape["points"] if has_points else 1
+    sh_data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    sh_dp = (
+        NamedSharding(mesh, P(mesh.axis_names[0], "points")) if has_points else sh_data
+    )
 
-    def put(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, sh)
-        return jax.device_put(x, rep)
+    if not (isinstance(batch, dict) and has_points):
+        n = mesh.devices.size if not has_points else nd
 
-    return jax.tree_util.tree_map(put, batch)
+        def put(x):
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % max(n, 1) == 0:
+                return jax.device_put(x, sh_data)
+            return jax.device_put(x, rep)
+
+        return jax.tree_util.tree_map(put, batch)
+
+    from .train import POINT_AXIS_BATCH_KEYS
+
+    out = {}
+    for k, x in batch.items():
+        if not (hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % nd == 0):
+            out[k] = jax.device_put(x, rep)
+        elif k in POINT_AXIS_BATCH_KEYS and x.ndim >= 2 and x.shape[1] % np_ == 0:
+            out[k] = jax.device_put(x, sh_dp)
+        else:
+            out[k] = jax.device_put(x, sh_data)
+    return out
 
 
 def replicate(mesh: Mesh, tree):

@@ -20,6 +20,14 @@ from flax import struct
 from ..models.anchor_diff import AnchorDiffAE, ensure_attn_maps
 
 
+# Batch keys whose second dimension is the point axis (shardable over a
+# ('data', 'points') mesh). Everything else is per-shape and shards on
+# 'data' only.
+POINT_AXIS_BATCH_KEYS = frozenset(
+    {"input", "ref", "seg_mask", "ref_seg_mask", "attn_map", "ref_attn_map", "diffusion_noise"}
+)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -83,6 +91,7 @@ def make_train_step(
     donate: bool = True,
     mesh=None,
     pack_spec=None,
+    skip_grad_norm: Optional[float] = None,
 ):
     """Build the jitted train step.
 
@@ -90,6 +99,16 @@ def make_train_step(
     (reference's train_aligner / train_cvae param groups, runner.py:76-94) by
     zeroing their gradients — optimizer state stays uniform so checkpoints
     are interchangeable between stages.
+
+    ``skip_grad_norm`` extends the non-finite guard to finite-but-huge
+    gradients: a step whose global grad norm exceeds the threshold is skipped
+    entirely (params/opt-state/stats unchanged, counted in the
+    ``skipped_nonfinite`` metric). Motivated by a measured failure mode the
+    reference shares (it only clips, runner.py:214): a late-training spike to
+    grad_norm ~1e6 permanently degraded a long run even though every update
+    was clipped — clipping bounds the step size, not the damage of many
+    consecutive steps in a pathological direction, and it poisons Adam's
+    second-moment estimate.
 
     With ``mesh`` (>1 device), the step runs under ``shard_map`` over the
     'data' axis: the batch is device-local, gradients are ``psum``-averaged
@@ -100,14 +119,20 @@ def make_train_step(
     needed (a pallas_call under plain GSPMD would be gathered/replicated).
     """
 
-    def step_fn(state: TrainState, batch, rng, epoch, axis_name=None):
+    def step_fn(state: TrainState, batch, rng, epoch, axis_name=None, reduce_axes=None):
         if pack_spec is not None:
             batch = unpack_batch(batch, pack_spec)
         else:
             batch = ensure_attn_maps(batch)
+        if reduce_axes is None:
+            reduce_axes = axis_name
         if axis_name is not None:
-            # per-device noise streams; params stay replicated because the
-            # psum'd grads make the update identical everywhere
+            # per-DATA-shard noise streams; point shards of the same sample
+            # share the stream (replicated draws — part codes, timesteps —
+            # must agree across them; per-point draws are decorrelated at the
+            # draw site via parallel.axes.fold_points). Params stay
+            # replicated because the reduced grads make the update identical
+            # everywhere.
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         rng_sample, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
 
@@ -129,12 +154,19 @@ def make_train_step(
         (total, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            total = jax.lax.pmean(total, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
+        if reduce_axes is not None:
+            # 'data': average of per-shard local-batch grads (DDP semantics).
+            # 'points': the loss VALUE is already global on every point shard
+            # (assembled via psum/all_gather in parallel.axes), and the
+            # collective transposes scale cotangents by the axis size, so the
+            # pmean over 'points' recovers exact gradients for both the
+            # point-sharded and the replicated loss terms (pinned by
+            # tests/test_parallel.py::test_sp_loss_grads_match_single_device).
+            grads = jax.lax.pmean(grads, reduce_axes)
+            total = jax.lax.pmean(total, reduce_axes)
+            metrics = jax.lax.pmean(metrics, reduce_axes)
             if new_stats:
-                new_stats = jax.lax.pmean(new_stats, axis_name)
+                new_stats = jax.lax.pmean(new_stats, reduce_axes)
         if trainable_filter is not None:
             grads = jax.tree_util.tree_map_with_path(
                 lambda path, g: g
@@ -150,6 +182,9 @@ def make_train_step(
         finite = jnp.isfinite(total) & jax.tree_util.tree_reduce(
             lambda a, g: a & jnp.isfinite(g).all(), grads, jnp.bool_(True)
         )
+        gnorm = optax.global_norm(grads)
+        if skip_grad_norm is not None:
+            finite = finite & jnp.isfinite(gnorm) & (gnorm < skip_grad_norm)
         safe_grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
@@ -161,7 +196,7 @@ def make_train_step(
         new_params = keep_old(new_params, state.params)
         new_opt = keep_old(new_opt, state.opt_state)
         metrics["total_loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
         metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         if new_stats:
             new_stats = keep_old(new_stats, state.batch_stats)
@@ -179,21 +214,72 @@ def make_train_step(
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    from .axes import points_sharded
+
     axis = mesh.axis_names[0]
+    point_axis = None
+    if len(mesh.axis_names) > 1 and mesh.shape[mesh.axis_names[1]] > 1:
+        point_axis = mesh.axis_names[1]
     data = P(axis)
     rep = P()
 
-    def local_step(state, batch, rng, epoch):
-        return step_fn(state, batch, rng, epoch, axis_name=axis)
+    if point_axis is None:
 
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(rep, data, rep, rep),
-        out_specs=(rep, rep),
-        check_vma=False,
-    )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+        def local_step(state, batch, rng, epoch):
+            return step_fn(state, batch, rng, epoch, axis_name=axis)
+
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(rep, data, rep, rep),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+    # --- sequence-parallel training: 2-D ('data', 'points') mesh ----------
+    # Point-axis batch arrays shard on BOTH axes; per-shape arrays on 'data'
+    # only. The loss collectives live in parallel.axes (masked max-pool,
+    # per-point loss reductions); grads/metrics pmean over both axes.
+    if pack_spec is not None:
+        raise ValueError(
+            "packed batches cannot shard the point axis (the pack flattens "
+            "per-sample features); use unpacked batches with a points mesh"
+        )
+
+    reduce_axes = (axis, point_axis)
+
+    def sp_local_step(state, batch, rng, epoch):
+        with points_sharded(point_axis):
+            return step_fn(
+                state, batch, rng, epoch, axis_name=axis, reduce_axes=reduce_axes
+            )
+
+    def batch_spec(key):
+        if key in POINT_AXIS_BATCH_KEYS:
+            return P(axis, point_axis)
+        return P(axis)
+
+    cache = {}
+
+    def step(state, batch, rng, epoch):
+        keys = tuple(sorted(batch))
+        fn = cache.get(keys)
+        if fn is None:
+            in_specs = (rep, {k: batch_spec(k) for k in keys}, rep, rep)
+            fn = cache[keys] = jax.jit(
+                shard_map(
+                    sp_local_step,
+                    mesh=mesh,
+                    in_specs=in_specs,
+                    out_specs=(rep, rep),
+                    check_vma=False,
+                ),
+                donate_argnums=(0,) if donate else (),
+            )
+        return fn(state, batch, rng, epoch)
+
+    return step
 
 
 def init_train_state(model: AnchorDiffAE, tx, batch, seed: int = 0) -> TrainState:

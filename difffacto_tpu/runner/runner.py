@@ -203,8 +203,7 @@ class Runner:
         self.mesh = make_mesh(jax.devices()[:n_dev])
         # Optional dp x sp generation mesh (cfg.sp_devices = width of the
         # 'points' axis): the reverse chain shards the point-token axis too,
-        # cutting single-shape latency — see parallel/mesh.py. Training
-        # always uses the flat data mesh above.
+        # cutting single-shape latency — see parallel/mesh.py.
         self.gen_mesh = self.mesh
         sp = int(cfg.get("sp_devices", 0) or 0)
         if sp > 1:
@@ -219,12 +218,32 @@ class Runner:
                     "generation stays on the data mesh"
                 )
         # >1 device: shard_map step (device-local Pallas kernels, psum'd
-        # grads over ICI); single device: plain jit.
+        # grads over ICI); single device: plain jit. cfg.train_sp_devices > 1
+        # additionally shards the point axis of the TRAIN step (car-scale
+        # npoints=8192 clouds; loss collectives in parallel/axes.py) — packed
+        # transfers are incompatible with a points mesh and turn off.
         self._trainable_filter = trainable_filter
         self._step_mesh = self.mesh if n_dev > 1 else None
+        train_sp = int(cfg.get("train_sp_devices", 0) or 0)
+        if train_sp > 1:
+            total = len(jax.devices())
+            npoints = int(cfgdict(cfg.dataset.train).get("npoints", 0) or 0)
+            if total % train_sp == 0 and (npoints == 0 or npoints % train_sp == 0):
+                self._step_mesh = make_mesh(
+                    jax.devices(), ("data", "points"), (total // train_sp, train_sp)
+                )
+            else:
+                self.logger.print_log(
+                    f"train_sp_devices={train_sp} does not divide devices/npoints; "
+                    "training stays on the flat data mesh"
+                )
+        self._train_sp = (
+            len(self._step_mesh.axis_names) > 1 if self._step_mesh is not None else False
+        )
+        self._skip_grad_norm = cfg.get("skip_grad_norm")
         self._step_fn = make_train_step(
             self.model, self.tx, trainable_filter=trainable_filter,
-            mesh=self._step_mesh,
+            mesh=self._step_mesh, skip_grad_norm=self._skip_grad_norm,
         )
 
         # state init from one example batch (subclasses override _init_variables
@@ -326,7 +345,10 @@ class Runner:
         """
         if not hasattr(self, "_train_xfer"):
             spec = None
-            if os.environ.get("DIFFFACTO_PACK_BATCH", "1") != "0":
+            if self._train_sp:
+                # a packed (B, F) buffer can't shard its point axis
+                spec = None
+            elif os.environ.get("DIFFFACTO_PACK_BATCH", "1") != "0":
                 try:
                     spec = make_pack_spec(next(iter(self.train_loader)), self._slim_train)
                 except Exception:
@@ -342,6 +364,7 @@ class Runner:
                     fn = cache[spec] = make_train_step(
                         self.model, self.tx, trainable_filter=self._trainable_filter,
                         mesh=self._step_mesh, pack_spec=spec,
+                        skip_grad_norm=self._skip_grad_norm,
                     )
                 self._train_xfer = (fn, lambda b: pack_batch(b, spec))
             else:
@@ -369,7 +392,7 @@ class Runner:
         pending = next(it, None)
         pending = to_device(pending) if pending is not None else None
         while pending is not None:
-            db = shard_batch(self.mesh, pending)
+            db = shard_batch(self._step_mesh or self.mesh, pending)
             self.state, metrics = step_fn(self.state, db, rng, self.epoch)
             # One-ahead prefetch: the device executes the (async-dispatched)
             # step while the host collates + transfers the next batch.

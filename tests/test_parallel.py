@@ -466,6 +466,289 @@ def test_packed_batch_shard_map_runs():
     assert int(s1.step) == 1
 
 
+def _deterministic_sp_batch(B=2):
+    """Batch with explicit diffusion t/noise overrides: removes the only
+    per-point randomness from the loss so sequence-parallel layouts are
+    numerically comparable to the single-device step."""
+    batch = tiny_batch(B=B, rng=np.random.RandomState(11))
+    N = batch["ref"].shape[1]
+    batch["diffusion_t"] = jnp.asarray(np.random.RandomState(12).randint(0, 5, (B,)), jnp.int32)
+    batch["diffusion_noise"] = jnp.asarray(
+        np.random.RandomState(13).randn(B, N, 3).astype(np.float32)
+    )
+    return batch
+
+
+def _sp_batch_specs(mesh, batch):
+    from jax.sharding import PartitionSpec as P
+
+    from difffacto_tpu.parallel.train import POINT_AXIS_BATCH_KEYS
+
+    return {
+        k: P("data", "points") if k in POINT_AXIS_BATCH_KEYS else P("data")
+        for k in batch
+    }
+
+
+def _eval_loss_fn(model, variables):
+    """value_and_grad-able eval-mode (train=False) loss: BN running stats,
+    fixed rngs — deterministic per-sample math, so sharded layouts must
+    reproduce it to f32 rounding."""
+    from difffacto_tpu.parallel.train import parse_losses
+
+    def loss_fn(params, lbatch):
+        v = {"params": params}
+        if "batch_stats" in variables:
+            v["batch_stats"] = variables["batch_stats"]
+        outs = model.apply(
+            v, lbatch, 0, train=False,
+            method=AnchorDiffAE.loss,
+            rngs={"sample": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(6)},
+        )
+        total, _ = parse_losses(outs)
+        return total
+
+    return loss_fn
+
+
+def test_sp_loss_grads_match_single_device():
+    """Point-axis collectives and their TRANSPOSES are exact: eval-mode
+    loss + grads on a (1, 8) 'data' x 'points' mesh == single device, tight.
+
+    Covers the masked max-pool (all_gather + max, subgradient through the
+    transpose), the per-point loss psums, and the pmean-of-grads combination
+    in parallel/train.py. Eval-mode BN (train=False) keeps the comparison
+    deterministic — train-mode BN batch statistics at B=2 amplify f32
+    reduction-order noise ~300x per layer (var ~ eps in (x-mean)/sqrt(var+eps)),
+    which is conditioning, not a sharding bug; the train-mode step is pinned
+    loosely by test_sp_train_step_layout_smoke and BN stat sync tightly by
+    test_bn_point_axis_sync. The reference has no sequence parallelism at all
+    (SURVEY.md §2.6); this pins OUR sharding design."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from difffacto_tpu.models.anchor_diff import ensure_attn_maps
+    from difffacto_tpu.parallel.axes import points_sharded
+
+    model, variables, _ = init_model()
+    batch = ensure_attn_maps(_deterministic_sp_batch(B=2))
+    loss_fn = _eval_loss_fn(model, variables)
+
+    total_ref, grads_ref = jax.jit(jax.value_and_grad(loss_fn))(
+        variables["params"], batch
+    )
+
+    mesh = make_mesh(axis_names=("data", "points"), mesh_shape=(1, 8))
+
+    def sp_local(params, lbatch):
+        with points_sharded("points"):
+            total, grads = jax.value_and_grad(loss_fn)(params, lbatch)
+        axes = ("data", "points")
+        return jax.lax.pmean(total, axes), jax.lax.pmean(grads, axes)
+
+    sp_fn = jax.jit(
+        shard_map(
+            sp_local, mesh=mesh,
+            in_specs=(P(), _sp_batch_specs(mesh, batch)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    total_sp, grads_sp = sp_fn(variables["params"], batch)
+
+    assert np.isclose(float(total_sp), float(total_ref), rtol=1e-5)
+    flat_a = jax.tree_util.tree_flatten_with_path(grads_sp)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(grads_ref)[0]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_dp_sp_loss_grads_match_flat_dp():
+    """(2, 4) dp x sp mesh == flat 2-device dp mesh on eval-mode loss+grads."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from difffacto_tpu.models.anchor_diff import ensure_attn_maps
+    from difffacto_tpu.parallel.axes import points_sharded
+
+    model, variables, _ = init_model(B=4)
+    batch = ensure_attn_maps(_deterministic_sp_batch(B=4))
+    loss_fn = _eval_loss_fn(model, variables)
+
+    mesh_dp = make_mesh(jax.devices()[:2], axis_names=("data",))
+
+    def dp_local(params, lbatch):
+        total, grads = jax.value_and_grad(loss_fn)(params, lbatch)
+        return jax.lax.pmean(total, "data"), jax.lax.pmean(grads, "data")
+
+    total_dp, grads_dp = jax.jit(
+        shard_map(
+            dp_local, mesh=mesh_dp,
+            in_specs=(P(), {k: P("data") for k in batch}),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )(variables["params"], batch)
+
+    mesh_2d = make_mesh(axis_names=("data", "points"), mesh_shape=(2, 4))
+
+    def sp_local(params, lbatch):
+        with points_sharded("points"):
+            total, grads = jax.value_and_grad(loss_fn)(params, lbatch)
+        axes = ("data", "points")
+        return jax.lax.pmean(total, axes), jax.lax.pmean(grads, axes)
+
+    total_sp, grads_sp = jax.jit(
+        shard_map(
+            sp_local, mesh=mesh_2d,
+            in_specs=(P(), _sp_batch_specs(mesh_2d, batch)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )(variables["params"], batch)
+
+    assert np.isclose(float(total_sp), float(total_dp), rtol=1e-5)
+    flat_a = jax.tree_util.tree_flatten_with_path(grads_sp)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(grads_dp)[0]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_bn_point_axis_sync():
+    """TorchBatchNorm under a point-sharded trace: train-mode outputs and
+    the pmean-synced batch stats match the global-batch computation, and the
+    gradients (combined with pmean over 'points') match the unsharded ones.
+
+    This is the one train-mode-only collective (flax BN axis_name pmean of
+    [mean, mean-of-squares]) not covered by the eval-mode grad tests above."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from difffacto_tpu.nn.layers import TorchBatchNorm
+    from difffacto_tpu.parallel.axes import points_sharded
+
+    x = np.random.RandomState(0).randn(2, 32, 8).astype(np.float32)
+    bn = TorchBatchNorm(use_running_average=False)
+    variables = bn.init(jax.random.PRNGKey(0), x)
+
+    def fwd(params, xx):
+        y, mut = bn.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            xx, mutable=["batch_stats"],
+        )
+        return (y ** 2).sum(), (y, mut["batch_stats"])
+
+    (l_ref, (y_ref, bs_ref)), g_ref = jax.jit(
+        jax.value_and_grad(fwd, has_aux=True)
+    )(variables["params"], x)
+
+    mesh = make_mesh(axis_names=("data", "points"), mesh_shape=(1, 8))
+
+    def local(params, xx):
+        with points_sharded("points"):
+            def f(p):
+                loss, (y, bs) = fwd(p, xx)
+                # per-point loss term: assemble the global value on every shard
+                return jax.lax.psum(loss, "points"), (y, bs)
+
+            (loss, (y, bs)), g = jax.value_and_grad(f, has_aux=True)(params)
+        axes = ("data", "points")
+        return (
+            jax.lax.pmean(loss, axes),
+            y,
+            jax.lax.pmean(bs, axes),
+            jax.lax.pmean(g, axes),
+        )
+
+    l_sp, y_sp, bs_sp, g_sp = jax.jit(
+        shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("data", "points")),
+            out_specs=(P(), P("data", "points"), P(), P()),
+            check_vma=False,
+        )
+    )(variables["params"], x)
+
+    assert np.isclose(float(l_sp), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref), atol=2e-6)
+    # atol 1e-5: the bias grad is analytically ZERO for this loss
+    # (d/d(bias) sum(y^2) = 2*sum(y-normalized) ~ 0), so both paths return
+    # f32 rounding residue around 0 and a pure-relative check is meaningless.
+    for tree_a, tree_b in ((bs_sp, bs_ref), (g_sp, g_ref)):
+        fa = jax.tree_util.tree_flatten_with_path(tree_a)[0]
+        fb = jax.tree_util.tree_flatten_with_path(tree_b)[0]
+        for (path, a), (_, b) in zip(fa, fb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+
+def test_sp_train_step_layout_smoke():
+    """Full train-mode sp step vs single device: LOOSE tolerances by design.
+
+    Train-mode BN at batch size 2 has per-feature variances near eps, so
+    (x-mean)/sqrt(var+eps) amplifies the f32 reduction-order noise of the
+    point-sharded stack (~4e-6 on h) by ~300x per BN layer — measured 1.8e-3
+    relative on total_loss for a CORRECT implementation. A missing collective
+    moves the loss orders of magnitude more (e.g. an unsummed fit-loss
+    denominator is 8x off). The tight gates are
+    test_sp_loss_grads_match_single_device and test_bn_point_axis_sync."""
+    from difffacto_tpu.parallel.train import TrainState
+
+    model, variables, _ = init_model()
+    batch = _deterministic_sp_batch(B=2)
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3), max_norm=10.0)
+    state = TrainState.create(variables, tx)
+
+    # Single-device reference: pre-fold the data-axis index the sharded
+    # path will fold (axis_index('data') == 0 on a 1-wide data axis).
+    step1 = make_train_step(model, tx, donate=False)
+    rng0 = jax.random.fold_in(jax.random.PRNGKey(0), 0)
+    s_ref, m_ref = step1(state, batch, rng0, 0)
+
+    mesh = make_mesh(axis_names=("data", "points"), mesh_shape=(1, 8))
+    rstate = jax.tree_util.tree_map(lambda x: replicate(mesh, x), state)
+    sbatch = shard_batch(mesh, batch)
+    step8 = make_train_step(model, tx, donate=False, mesh=mesh)
+    s_sp, m_sp = step8(rstate, sbatch, jax.random.PRNGKey(0), 0)
+
+    assert int(s_sp.step) == 1
+    assert np.isclose(float(m_sp["total_loss"]), float(m_ref["total_loss"]), rtol=1e-2)
+    for k in m_ref:
+        assert np.isfinite(float(m_sp[k])), k
+    # updated params stay within the Adam step envelope of the reference
+    # (first-step updates are +-lr per weight; BN noise can flip signs on
+    # near-zero grads, so the bound is 2*lr + slack, asserted elementwise).
+    flat_a = jax.tree_util.tree_flatten_with_path(s_sp.params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(s_ref.params)[0]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2.5e-3, rtol=0,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_sp_step_rejects_packed_batches():
+    from difffacto_tpu.runner.runner import make_pack_spec
+
+    import pytest
+
+    model, variables, batch = init_model()
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    spec = make_pack_spec(host, slim_attn=True)
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3))
+    mesh = make_mesh(axis_names=("data", "points"), mesh_shape=(2, 4))
+    with pytest.raises(ValueError, match="pack"):
+        make_train_step(model, tx, donate=False, mesh=mesh, pack_spec=spec)
+
+
 def test_nonfinite_guard_skips_update():
     """A batch that produces non-finite loss/grads must leave params,
     optimizer state, and batch stats untouched (skipped_nonfinite=1); a
@@ -496,5 +779,33 @@ def test_nonfinite_guard_skips_update():
     assert np.isfinite(float(m_ok["total_loss"]))
     deltas = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), s_bad.params, s_ok.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
+
+
+def test_grad_norm_spike_guard_skips_update():
+    """skip_grad_norm extends the guard to finite-but-huge gradients: with a
+    threshold below a healthy batch's grad norm the step is skipped (params
+    untouched, skipped_nonfinite=1); with a generous threshold it updates."""
+    from difffacto_tpu.parallel.train import TrainState
+
+    model, variables, batch = init_model()
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3), max_norm=10.0)
+    state = TrainState.create(variables, tx)
+    rng = jax.random.PRNGKey(0)
+
+    tight = make_train_step(model, tx, donate=False, skip_grad_norm=1e-8)
+    s1, m1 = tight(state, batch, rng, 0)
+    assert float(m1["skipped_nonfinite"]) == 1.0
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, s1.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) == 0.0
+
+    loose = make_train_step(model, tx, donate=False, skip_grad_norm=1e9)
+    s2, m2 = loose(state, batch, rng, 0)
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params
     )
     assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
