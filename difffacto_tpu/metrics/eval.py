@@ -373,11 +373,20 @@ def compute_all_metrics(
     one_way: bool = False,
     mask=None,
     compute_emd: bool = True,
+    ref_self_cache: Optional[dict] = None,
 ) -> Dict[str, float]:
     """MMD/COV/1-NNA over CD and EMD (evaluation_utils.py:500-541).
 
     Matches the reference's orientation: pairwise matrices are built as
     (ref x sample) and transposed for MMD/COV.
+
+    ``ref_self_cache``: caller-owned dict memoizing the ref-vs-ref pairwise
+    block across calls. That block depends only on the (fixed) reference set
+    but dominates repeated-eval cost — a 400-shape val set is ~80k EMD pairs
+    (~12 min on TPU) recomputed identically per checkpoint in a convergence
+    curve. The key fingerprints the ref bytes + every knob that changes the
+    values (batch size, EMD impl/eps/iters, sweep mode), so a stale hit is
+    impossible; pass e.g. a Runner-lifetime dict.
     """
     sample_pcs, ref_pcs = _to_np(sample_pcs), _to_np(ref_pcs)
     results: Dict[str, float] = {}
@@ -396,14 +405,33 @@ def compute_all_metrics(
     # reference's full ordered sweep (evaluation_utils.py:500-541) — the two
     # differ only by the auction's approximation noise on mirrored pairs.
     symmetric = _os.environ.get("DIFFFACTO_EVAL_SYMMETRIC", "1") != "0"
-    if symmetric:
-        M_rr_cd, M_rr_emd = pairwise_self_cd_emd(
-            ref_pcs, batch_size, compute_emd=compute_emd
+    cache_key = None
+    if ref_self_cache is not None:
+        import hashlib
+
+        from ..ops.emd import resolved_emd_eval_config
+
+        cache_key = (
+            hashlib.blake2b(np.ascontiguousarray(ref_pcs).tobytes(), digest_size=16).hexdigest(),
+            ref_pcs.shape,
+            batch_size,
+            compute_emd,
+            symmetric,
+            (resolved_emd_eval_config(), EMD_EPS(), EMD_ITERS()) if compute_emd else None,
         )
+    if cache_key is not None and cache_key in ref_self_cache:
+        M_rr_cd, M_rr_emd = ref_self_cache[cache_key]
     else:
-        M_rr_cd, M_rr_emd = pairwise_cd_emd(
-            ref_pcs, ref_pcs, batch_size, compute_emd=compute_emd
-        )
+        if symmetric:
+            M_rr_cd, M_rr_emd = pairwise_self_cd_emd(
+                ref_pcs, batch_size, compute_emd=compute_emd
+            )
+        else:
+            M_rr_cd, M_rr_emd = pairwise_cd_emd(
+                ref_pcs, ref_pcs, batch_size, compute_emd=compute_emd
+            )
+        if cache_key is not None:
+            ref_self_cache[cache_key] = (M_rr_cd, M_rr_emd)
     if one_way:
         S = M_rs_cd.shape[1]
         M_ss_cd = np.full((S, S), np.inf)

@@ -566,6 +566,14 @@ class Runner:
             refs = np.asarray(fps(jnp.asarray(refs), 2048))
         gen = bbox_normalize(gen)
         refs = bbox_normalize(refs)
-        metrics = compute_all_metrics(gen, refs, batch_size=32, one_way=False)
+        # Runner-lifetime memo of the ref-vs-ref pairwise block: the val set
+        # is fixed, so per-checkpoint curve evals (tools/eval_ckpt_curve.py)
+        # pay its ~S^2/2 EMD pairs only once.
+        if not hasattr(self, "_ref_self_cache"):
+            self._ref_self_cache = {}
+        metrics = compute_all_metrics(
+            gen, refs, batch_size=32, one_way=False,
+            ref_self_cache=self._ref_self_cache,
+        )
         self.logger.log({f"gen/{k}": float(v) for k, v in metrics.items()}, step=self.iter)
         return metrics

@@ -102,6 +102,35 @@ class TestMetrics:
         assert np.isclose(res["lgan_mmd"], (0.1 + 0.2) / 2)
         assert res["lgan_cov"] == 1.0
 
+    def test_compute_all_metrics_ref_self_cache(self, monkeypatch):
+        """The ref-vs-ref memo returns identical metrics on a hit, actually
+        skips recomputation, and misses when a value-changing knob flips."""
+        import difffacto_tpu.metrics.eval as ev
+
+        s, s2 = make_clouds(4, seed=0), make_clouds(4, seed=2)
+        r = make_clouds(4, seed=1)
+        cache = {}
+        m0 = compute_all_metrics(s, r, batch_size=2, ref_self_cache=cache)
+        assert len(cache) == 1
+        # poison the self-sweep: a second call must not invoke it for refs
+        # (it still runs for the NEW sample set, so count the calls).
+        calls = []
+        orig = ev.pairwise_self_cd_emd
+        monkeypatch.setattr(
+            ev, "pairwise_self_cd_emd",
+            lambda pts, *a, **k: calls.append(pts.shape) or orig(pts, *a, **k),
+        )
+        m1 = compute_all_metrics(s2, r, batch_size=2, ref_self_cache=cache)
+        assert len(calls) == 1  # sample self-sweep only; ref block was cached
+        m0b = compute_all_metrics(s, r, batch_size=2, ref_self_cache=cache)
+        for k in m0:
+            assert np.isclose(m0[k], m0b[k]), k
+        assert "1-NN-CD-acc" in m1
+        # knob changes the key: EMD iters is folded into the fingerprint
+        monkeypatch.setenv("DIFFFACTO_EMD_ITERS", "123")
+        compute_all_metrics(s, r, batch_size=2, ref_self_cache=cache)
+        assert len(cache) == 2
+
     def test_compute_all_metrics_smoke(self):
         s = make_clouds(4, seed=0)
         r = make_clouds(4, seed=1)
