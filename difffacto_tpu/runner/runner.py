@@ -320,6 +320,8 @@ class Runner:
 
     def run(self):
         self.logger.print_log("Start running")
+        trained = False
+        saved_final = False
         while not self.finish:
             self.train_loader.set_epoch(self.epoch)
             if (
@@ -329,10 +331,18 @@ class Runner:
             ):
                 self.cache_noise()
             self.train()
+            trained = True
             if check_interval(self.epoch, self.eval_interval) and not self.no_eval:
                 self.val()
-            if check_interval(self.epoch, self.checkpoint_interval):
+            saved_final = check_interval(self.epoch, self.checkpoint_interval)
+            if saved_final:
                 self.save()
+        # Always leave a final checkpoint: with checkpoint_interval unset (or
+        # not dividing max_epoch) a completed run would otherwise save
+        # NOTHING, and a follow-up --task val/val_gen in the same work_dir
+        # auto-resumes fresh-init weights.
+        if trained and not saved_final:
+            self.save()
 
     def _train_transfer(self):
         """(step_fn, host_batch -> device pytree) for the train loop.

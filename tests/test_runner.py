@@ -34,6 +34,19 @@ def test_runner_end_to_end(tiny_cfg):
     assert os.path.exists(os.path.join(runner.work_dir, "scalars.jsonl"))
 
 
+def test_final_checkpoint_without_interval(tiny_cfg):
+    """checkpoint_interval=None must still leave a final checkpoint after a
+    completed run — a follow-up --task val/val_gen in the same work_dir
+    auto-resumes from it (bench_train_tpu.py's documented flow)."""
+    from difffacto_tpu.runner import Runner
+
+    tiny_cfg.checkpoint_interval = None
+    runner = Runner(cfg=tiny_cfg)
+    runner.run()
+    ckpts = os.listdir(os.path.join(runner.work_dir, "checkpoints"))
+    assert any(c.endswith(".msgpack") for c in ckpts)
+
+
 def test_runner_resume(tiny_cfg):
     from difffacto_tpu.config import Config
     from difffacto_tpu.runner import Runner
