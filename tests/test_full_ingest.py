@@ -304,6 +304,115 @@ def test_denoiser_parity_full_scale(rehearsal):
     np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=1e-3)
 
 
+@pytest.fixture(scope="module")
+def rehearsal_car(tmp_path_factory):
+    """Second-category rehearsal (reference configs/gen_car.py): parameter
+    shapes match chair, so this exercises the two car DELTAS — the converter
+    CLI driven by a gen_car-derived config, and aligner noise_scale=50
+    (vs 100) flowing from config into the loaded model."""
+    tmp = tmp_path_factory.mktemp("ingest_car")
+    torch.manual_seed(10)
+    t_enc = TorchPointNetV2(zdim=ZDIM, num_anchors=K).eval()
+    t_align = TorchAlignerGenChair(noise_scale=50.0).eval()
+    t_flows = tnn.ModuleList([TorchChainFlow() for _ in range(K)]).eval()
+    with torch.no_grad():
+        for coup in t_flows.modules():
+            if isinstance(coup, TorchCoupling):
+                coup.net_s_t[4].weight.mul_(0.01)
+                coup.net_s_t[4].bias.zero_()
+    t_den = TorchDenoiserGenChair().eval()
+
+    sd = {}
+    sd.update(to_np_sd(t_enc, "encoder.encoder."))
+    sd.update(to_np_sd(t_align, "encoder.part_aligner."))
+    sd.update(to_np_sd(t_flows, "encoder.flow."))
+    sd.update(to_np_sd(t_den, "diffusion.model."))
+    pth = tmp / "gen_car_rehearsal.pth"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, pth)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_file = os.path.join(repo, "tests/configs/ingest_gen_car.py")
+    out = tmp / "ckpt_0.msgpack"
+    argv_save = sys.argv
+    try:
+        sys.argv = [
+            "convert_torch_ckpt.py", "--config-file", cfg_file,
+            "--input", str(pth), "--output", str(out),
+        ]
+        runpy.run_path(os.path.join(repo, "tools/convert_torch_ckpt.py"),
+                       run_name="__main__")
+    finally:
+        sys.argv = argv_save
+    assert out.exists()
+
+    from flax import serialization
+
+    from difffacto_tpu.config import get_cfg, init_cfg
+    from difffacto_tpu.models import AnchorDiffAE
+    from difffacto_tpu.parallel.optim import build_optimizer_from_cfg
+    from difffacto_tpu.parallel.train import TrainState
+    from difffacto_tpu.utils.registry import MODELS, build_from_cfg
+
+    init_cfg(cfg_file)
+    cfg = get_cfg()
+    assert cfg.model.encoder.part_aligner.noise_scale == 50
+    model = build_from_cfg(cfg.model.dump(), MODELS)
+    B, N = 2, N_PTS
+    seg = np.repeat(np.arange(K), N // K)[None].repeat(B, 0)
+    batch = {
+        "input": jnp.zeros((B, N, 3), jnp.float32),
+        "ref": jnp.zeros((B, N, 3), jnp.float32),
+        "ref_seg_mask": jnp.asarray(seg, jnp.int32),
+        "seg_mask": jnp.asarray(seg, jnp.int32),
+        "ref_attn_map": jnp.asarray(np.eye(K, dtype=np.float32)[seg]),
+        "attn_map": jnp.asarray(np.eye(K, dtype=np.float32)[seg]),
+        "present": jnp.ones((B, K), jnp.float32),
+        "dp_present": jnp.ones((B, K), jnp.float32),
+        "part_shift": jnp.zeros((B, K, 3), jnp.float32),
+        "part_scale": jnp.ones((B, K, 3), jnp.float32),
+        "noise": jnp.zeros((B, 1), jnp.float32),
+    }
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = jax.jit(lambda r, b: model.init(r, b, 0, method=AnchorDiffAE.loss))(
+        rngs, batch
+    )
+    tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3))
+    state = TrainState.create(jax.device_get(variables), tx)
+    with open(out, "rb") as f:
+        state = serialization.from_bytes(state, f.read())
+    return {"model": model, "state": state, "t_align": t_align}
+
+
+def test_car_config_converts_cleanly(rehearsal_car):
+    leaves = jax.tree_util.tree_leaves(rehearsal_car["state"].params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_car_aligner_parity_noise_scale_50(rehearsal_car):
+    """noise_scale=50 must flow config -> model; a model still at 100 would
+    double the noise injection and fail this parity check."""
+    m, state, t_align = (
+        rehearsal_car["model"], rehearsal_car["state"], rehearsal_car["t_align"],
+    )
+    rng = np.random.RandomState(11)
+    part_code = rng.randn(2, K, ZDIM).astype(np.float32)
+    noise = (rng.randn(2, NOISE_DIM) * 0.01).astype(np.float32)
+    valid = np.ones((2, K), np.float32)
+    valid[0, 1] = 0.0
+    with torch.no_grad():
+        tm, tv = t_align(
+            torch.from_numpy(part_code), torch.from_numpy(valid),
+            torch.from_numpy(noise),
+        )
+    jm, jv = m.apply(
+        _vars(state), jnp.asarray(part_code), jnp.asarray(valid), jnp.asarray(noise),
+        method=lambda mod, p, v, n: mod.encoder_mod.aligner(p, v, noise=n),
+    )
+    np.testing.assert_allclose(np.asarray(jm), tm.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), atol=1e-3)
+
+
 def test_end_to_end_forward_with_ingested_weights(rehearsal):
     """Training loss and a reconstruction forward both run finite on the
     ingested full checkpoint."""
