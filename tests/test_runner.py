@@ -34,14 +34,24 @@ def test_runner_end_to_end(tiny_cfg):
     assert os.path.exists(os.path.join(runner.work_dir, "scalars.jsonl"))
 
 
-def test_final_checkpoint_without_interval(tiny_cfg):
+def test_final_checkpoint_without_interval(tiny_cfg, monkeypatch):
     """checkpoint_interval=None must still leave a final checkpoint after a
     completed run — a follow-up --task val/val_gen in the same work_dir
-    auto-resumes from it (bench_train_tpu.py's documented flow)."""
+    auto-resumes from it (bench_train_tpu.py's documented flow).
+
+    run()'s save-at-end logic is what's under test; the epoch loop body is
+    stubbed out (a real 2-epoch train adds ~190 s of compile to the suite)."""
     from difffacto_tpu.runner import Runner
 
     tiny_cfg.checkpoint_interval = None
     runner = Runner(cfg=tiny_cfg)
+    runner.no_eval = True
+
+    def fake_train():
+        runner.epoch += 1
+
+    monkeypatch.setattr(runner, "train", fake_train)
+    monkeypatch.setattr(runner, "cache_noise", lambda: None)
     runner.run()
     ckpts = os.listdir(os.path.join(runner.work_dir, "checkpoints"))
     assert any(c.endswith(".msgpack") for c in ckpts)
