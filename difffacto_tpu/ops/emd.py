@@ -156,7 +156,8 @@ def emd_cost(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iters: in
 def resolved_emd_eval_config(n: Optional[int] = None):
     """Resolve the eval-EMD implementation knobs from the environment.
 
-    Returns ``(impl, sinkhorn_iters, auction_iters, interpret, auction_cache)``
+    Returns ``(impl, sinkhorn_iters, auction_iters, interpret, auction_cache,
+    sinkhorn_rows)``
     where impl is 'hybrid' or 'auction'. Centralized so callers that
     jit-and-cache around ``emd_cost_eval`` (metrics/eval.py) can key their
     caches on the *resolved* configuration — env-var changes after a first
@@ -177,6 +178,9 @@ def resolved_emd_eval_config(n: Optional[int] = None):
         int(os.environ.get("DIFFFACTO_EMD_AUCTION_ITERS", 150)),
         not on_tpu,  # hybrid off-TPU only runs in interpret mode
         os.environ.get("DIFFFACTO_EMD_AUCTION_CACHE", "1") != "0",
+        # warm-start sinkhorn row subsample (0 = all rows): only g seeds the
+        # auction, so an (m, n) sinkhorn costs m/n of the square one.
+        int(os.environ.get("DIFFFACTO_EMD_SINKHORN_ROWS", 0)),
     )
 
 
@@ -194,7 +198,7 @@ def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iter
       * ``auction`` (default off-TPU) — the XLA while_loop auction with the
         reference knobs (eps/iters), exact behavioral parity.
     """
-    impl, sinkhorn_iters, auction_iters, interpret, auction_cache = (
+    impl, sinkhorn_iters, auction_iters, interpret, auction_cache, skrows = (
         resolved_emd_eval_config(xyz1.shape[1])
     )
     if impl == "hybrid":
@@ -214,6 +218,7 @@ def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iter
             sinkhorn_iters=sinkhorn_iters,
             auction_iters=auction_iters,
             auction_from_cache=auction_cache,
+            sinkhorn_rows=skrows,
         )
         matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
         return jnp.sqrt(

@@ -50,15 +50,22 @@ _NEG = -1e9
 
 def _emd_hybrid_kernel(
     n, tile, sinkhorn_iters, sinkhorn_inner, auction_iters, eps_final,
-    eps_start, eps_decay, cache_dist, auction_from_cache,
+    eps_start, eps_decay, cache_dist, auction_from_cache, sinkhorn_rows,
     x1_ref, x2t_ref, sq1_ref, sq2_ref, out_ref,
     f_s, g_s, price_s, assign_s, owner_s, winval_s, winrow_s, m_s, sum_s,
-    dist_s,
+    cnt_s, dist_s,
 ):
     """One pair per grid step. x1 (1, n, 8) f32 (xyz padded), x2t (1, 8, n),
-    sq1/sq2 (1, 1, n); out (1, 1, n) int32 assignment. Scratch: (1, n) vectors
-    plus — when ``cache_dist`` — an (n, n) bf16 distance cache."""
+    sq1/sq2 (1, 1, n); out (1, 1, n) int32 assignment. Scratch: (1, n) vectors,
+    an SMEM per-tile unassigned-count vector, plus — when ``cache_dist`` —
+    an (n, n) bf16 distance cache."""
     nt = n // tile
+    # Sinkhorn may run on a row SUBSAMPLE: only the column potential g feeds
+    # the auction warm start (price = -g), and with the launcher pre-permuting
+    # x1 the first ``sinkhorn_rows`` rows are a uniform sample, so a
+    # rectangular (m, n) sinkhorn yields the same g up to a constant shift
+    # (irrelevant to auction bids) plus sampling noise the auction mops up.
+    mt = max(1, sinkhorn_rows // tile)
     f32 = jnp.float32
 
     def dist_tile(t):
@@ -121,7 +128,7 @@ def _emd_hybrid_kernel(
             )
             return c
 
-        jax.lax.fori_loop(0, nt, row_t, 0)
+        jax.lax.fori_loop(0, mt, row_t, 0)
 
         m_s[...] = jnp.full((1, n), _NEG, f32)
         sum_s[...] = jnp.zeros((1, n), f32)
@@ -138,7 +145,7 @@ def _emd_hybrid_kernel(
             m_s[...] = nm
             return c
 
-        jax.lax.fori_loop(0, nt, col_t, 0)
+        jax.lax.fori_loop(0, mt, col_t, 0)
         g_s[...] = -eps * (jnp.log(jnp.maximum(sum_s[...], 1e-30)) + m_s[...])
         return carry
 
@@ -151,39 +158,69 @@ def _emd_hybrid_kernel(
     assign_s[...] = jnp.full((1, n), -1, jnp.int32)
     owner_s[...] = jnp.full((1, n), -1, jnp.int32)
 
+    for t in range(nt):
+        cnt_s[0, t] = jnp.int32(tile)
+
     def bid_t(t, c):
         """Fused sweep step: per-point best/better/inc for tile t, folded
-        into the per-object winner accumulators winval_s/winrow_s."""
-        value = -dist_tile_auction(t) - price_s[...]           # (tile, n)
-        best = jnp.max(value, axis=1, keepdims=True)
-        bid = jnp.min(jnp.where(value >= best, lane_i32, n), axis=1)
-        masked = jnp.where(lane_i32 == bid[:, None], _NEG, value)
-        better = jnp.max(masked, axis=1)
-        inc = best[:, 0] - better + eps                        # (tile,)
-        unass = assign_s[0, pl.ds(t * tile, tile)] < 0
-        cand = jnp.where(unass, inc, _NEG)
-        M = jnp.where(lane_i32 == bid[:, None], cand[:, None], _NEG)
-        tmax = jnp.max(M, axis=0, keepdims=True)               # (1, n)
-        targ = jnp.min(jnp.where(M >= tmax, row_i32, n), axis=0, keepdims=True)
-        upd = tmax > winval_s[...]
-        winrow_s[...] = jnp.where(upd, targ + t * tile, winrow_s[...])
-        winval_s[...] = jnp.where(upd, tmax, winval_s[...])
-        return c
+        into the per-object winner accumulators winval_s/winrow_s.
+
+        Tiles with NO unassigned rows are skipped outright — only unassigned
+        points bid, so the skip is exact.  This is the TPU analog of the
+        reference CUDA auction's shrinking unassigned set (emd_cuda.cu): the
+        dense sweep cost decays with convergence instead of staying O(n^2)
+        per iteration."""
+
+        def do(_):
+            value = -dist_tile_auction(t) - price_s[...]       # (tile, n)
+            best = jnp.max(value, axis=1, keepdims=True)
+            bid = jnp.min(jnp.where(value >= best, lane_i32, n), axis=1)
+            masked = jnp.where(lane_i32 == bid[:, None], _NEG, value)
+            better = jnp.max(masked, axis=1)
+            inc = best[:, 0] - better + eps                    # (tile,)
+            unass = assign_s[0, pl.ds(t * tile, tile)] < 0
+            cand = jnp.where(unass, inc, _NEG)
+            M = jnp.where(lane_i32 == bid[:, None], cand[:, None], _NEG)
+            tmax = jnp.max(M, axis=0, keepdims=True)           # (1, n)
+            targ = jnp.min(
+                jnp.where(M >= tmax, row_i32, n), axis=0, keepdims=True
+            )
+            upd = tmax > winval_s[...]
+            winrow_s[...] = jnp.where(upd, targ + t * tile, winrow_s[...])
+            winval_s[...] = jnp.where(upd, tmax, winval_s[...])
+            return jnp.int32(0)
+
+        return jax.lax.cond(cnt_s[0, t] > 0, do, lambda _: jnp.int32(0), 0)
 
     def upd_t(t, n_unass):
-        """Per-point update for tile t: claim won objects, evict owners."""
-        win_row = winrow_s[...]
+        """Per-point update for tile t: claim won objects, evict owners.
+
+        Skipped (count reused) unless this round's winners touch the tile —
+        a winning bidder row lives in it, or one of its points owns an
+        object that was just taken."""
         taken = winval_s[...] > _NEG / 2
-        rows = row_i32 + t * tile                              # global ids
-        wmatch = jnp.logical_and(win_row == rows, taken)
-        newj = jnp.max(jnp.where(wmatch, lane_i32, -1), axis=1)  # (tile,)
-        omatch = jnp.logical_and(owner_s[...] == rows, taken)
-        evict = jnp.max(jnp.where(omatch, 1, 0), axis=1)
-        cur = assign_s[0, pl.ds(t * tile, tile)]
-        cur = jnp.where(evict > 0, -1, cur)
-        cur = jnp.where(newj >= 0, newj, cur)
-        assign_s[0, pl.ds(t * tile, tile)] = cur
-        return n_unass + jnp.sum((cur < 0).astype(jnp.int32))
+        win_row = winrow_s[...]
+        lo, hi = t * tile, (t + 1) * tile
+        won_here = jnp.logical_and(taken, jnp.logical_and(win_row >= lo, win_row < hi))
+        own = owner_s[...]
+        evict_here = jnp.logical_and(taken, jnp.logical_and(own >= lo, own < hi))
+        touched = jnp.any(jnp.logical_or(won_here, evict_here))
+
+        def do(_):
+            rows = row_i32 + t * tile                          # global ids
+            wmatch = jnp.logical_and(win_row == rows, taken)
+            newj = jnp.max(jnp.where(wmatch, lane_i32, -1), axis=1)  # (tile,)
+            omatch = jnp.logical_and(own == rows, taken)
+            evict = jnp.max(jnp.where(omatch, 1, 0), axis=1)
+            cur = assign_s[0, pl.ds(t * tile, tile)]
+            cur = jnp.where(evict > 0, -1, cur)
+            cur = jnp.where(newj >= 0, newj, cur)
+            assign_s[0, pl.ds(t * tile, tile)] = cur
+            cnt = jnp.sum((cur < 0).astype(jnp.int32))
+            cnt_s[0, t] = cnt
+            return cnt
+
+        return n_unass + jax.lax.cond(touched, do, lambda _: cnt_s[0, t], 0)
 
     def auc_cond(st):
         it, n_unass = st
@@ -193,7 +230,7 @@ def _emd_hybrid_kernel(
         it, _ = st
         winval_s[...] = jnp.full((1, n), _NEG, jnp.float32)
         winrow_s[...] = jnp.full((1, n), n, jnp.int32)
-        jax.lax.fori_loop(0, nt, bid_t, 0)
+        jax.lax.fori_loop(0, nt, bid_t, jnp.int32(0))
         taken = winval_s[...] > _NEG / 2
         price_s[...] = price_s[...] + jnp.where(taken, winval_s[...], 0.0)
         n_unass = jax.lax.fori_loop(0, nt, upd_t, jnp.int32(0))
@@ -227,11 +264,20 @@ def emd_assignment_hybrid(
     tile: int = 256,
     interpret: bool = False,
     auction_from_cache: bool = True,
+    sinkhorn_rows: int = 0,
 ) -> jnp.ndarray:
     """(B, n, 3) x (B, n, 3) -> assignment (B, n) int32 (x1 point -> x2 index).
 
     n must be a multiple of ``tile`` (reference constraint: n % 1024 == 0,
     emd_module.py:41).
+
+    ``sinkhorn_rows`` (0 = all n): run the warm-start sinkhorn on a uniform
+    row subsample of that size — only the column potential g seeds the
+    auction prices, so an (m, n) rectangular sinkhorn costs m/n of the full
+    one and shifts g by an irrelevant constant plus sampling noise. x1 is
+    pre-permuted so "first m rows" IS a uniform sample regardless of any
+    part-ordered point layout, and the assignment is un-permuted on the way
+    out.
     """
     B, n, _ = xyz1.shape
     if n % tile != 0:
@@ -239,6 +285,15 @@ def emd_assignment_hybrid(
         while t >= 128 and n % t != 0:
             t //= 2
         tile = t if n % t == 0 else n
+    m = sinkhorn_rows if 0 < sinkhorn_rows < n else n
+    m = max(tile, (m // tile) * tile)
+    inv_perm = None
+    if m < n:
+        import numpy as _np
+
+        perm = _np.random.RandomState(1234).permutation(n)
+        inv_perm = jnp.asarray(_np.argsort(perm))
+        xyz1 = jnp.take(xyz1, jnp.asarray(perm), axis=1)
     f32 = jnp.float32
     pad = jnp.zeros((B, n, 5), f32)
     x1 = jnp.concatenate([xyz1.astype(f32), pad], axis=-1)        # (B, n, 8)
@@ -253,11 +308,11 @@ def emd_assignment_hybrid(
     kernel = functools.partial(
         _emd_hybrid_kernel, n, tile, sinkhorn_iters, sinkhorn_inner,
         auction_iters, eps, eps_start, eps_decay, cache_dist,
-        auction_from_cache,
+        auction_from_cache, m,
     )
     vec_f32 = pltpu.VMEM((1, n), f32)
     vec_i32 = pltpu.VMEM((1, n), jnp.int32)
-    return pl.pallas_call(
+    assign = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -271,7 +326,11 @@ def emd_assignment_hybrid(
         scratch_shapes=[
             vec_f32, vec_f32, vec_f32, vec_i32, vec_i32,
             vec_f32, vec_i32, vec_f32, vec_f32,
+            pltpu.SMEM((1, n // tile), jnp.int32),
             pltpu.VMEM((n, n) if cache_dist else (8, 128), jnp.bfloat16),
         ],
         interpret=interpret,
     )(x1, x2t, sq1, sq2)[:, 0]
+    if inv_perm is not None:
+        assign = jnp.take(assign, inv_perm, axis=1)
+    return assign

@@ -352,6 +352,35 @@ class TestEMDHybrid:
             assert n - len(np.unique(assign[i])) == 0, "not bijective"
             assert got <= opt * 1.01, f"cost {got} vs optimal {opt}"
 
+    def test_matches_hungarian_subsampled_sinkhorn(self):
+        """Half-row warm-start sinkhorn + assigned-tile skip must still land
+        within a fraction of a percent of the Hungarian optimum (the auction
+        mop-up absorbs the cheaper warm start)."""
+        from scipy.optimize import linear_sum_assignment
+
+        from difffacto_tpu.ops.emd_pallas import emd_assignment_hybrid
+
+        rng = np.random.RandomState(13)
+        B, n = 2, 256
+        a = rng.randn(B, n, 3).astype(np.float32) * 0.3
+        b = rng.randn(B, n, 3).astype(np.float32) * 0.3
+        assign = np.asarray(
+            emd_assignment_hybrid(
+                jnp.asarray(a), jnp.asarray(b), tile=128, interpret=True,
+                sinkhorn_rows=n // 2, auction_iters=600,
+            )
+        )
+        for i in range(B):
+            d = np.sqrt(((a[i][:, None] - b[i][None]) ** 2).sum(-1))
+            ri, ci = linear_sum_assignment(d)
+            opt = d[ri, ci].mean()
+            got = d[np.arange(n), assign[i]].mean()
+            # the cheaper warm start may leave a couple of force-assigned
+            # stragglers at the cap (the reference auction does the same);
+            # the cost must stay within the hybrid's accuracy band
+            assert n - len(np.unique(assign[i])) <= 3, "far from bijective"
+            assert abs(got / opt - 1.0) <= 0.015, f"cost {got} vs optimal {opt}"
+
     def test_emd_cost_eval_routing(self, monkeypatch):
         """emd_cost_eval with DIFFFACTO_EMD_IMPL=hybrid (interpret) agrees
         with the auction implementation to metric accuracy."""
