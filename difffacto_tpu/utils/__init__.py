@@ -20,6 +20,41 @@ from .registry import (
 )
 
 
+def install_tool_watchdog(default_s: float = 1800.0):
+    """Hard wall-clock limit for one-shot CLI tools.
+
+    A tunnel-blocked JAX call can hang a tool process forever (a round-2
+    A/B script sat ~3 h on a dead TPU stream, starving the tunnel for the
+    driver's bench — see VERDICT r2 'process hygiene'). A daemon timer
+    hard-exits the process with status 124 (the coreutils ``timeout``
+    convention) once the budget elapses; ``os._exit`` fires even while the
+    main thread is blocked inside a C extension.
+
+    Budget: ``DIFFFACTO_TOOL_TIMEOUT`` seconds when set (0 disables),
+    else ``default_s``.
+    """
+    import os
+    import sys
+    import threading
+
+    budget = float(os.environ.get("DIFFFACTO_TOOL_TIMEOUT", default_s))
+    if budget <= 0:
+        return
+
+    def _expire():
+        print(
+            f"[difffacto_tpu] tool watchdog: exceeded {budget:.0f}s wall "
+            "budget (DIFFFACTO_TOOL_TIMEOUT to adjust); hard-exiting 124",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(124)
+
+    t = threading.Timer(budget, _expire)
+    t.daemon = True
+    t.start()
+
+
 def enable_compile_cache(path: str = None):
     """Enable JAX's persistent compilation cache for CLI entry points.
 

@@ -17,6 +17,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from difffacto_tpu.utils import install_tool_watchdog
+
+# a 10-ckpt curve at ~245 s/ckpt plus the first-eval ref block is ~1.5 h;
+# budget generously — the watchdog only guards against a dead tunnel
+install_tool_watchdog(6 * 3600.0)
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -9,7 +9,9 @@ Timing rule (CLAUDE.md): standalone repeated dispatches content-cache
 through the axon tunnel; every timed sweep here feeds fresh data derived
 from the previous result.
 
-Run: python tools/tpu_emd_check.py
+Run: python tools/tpu_emd_check.py         # accuracy + protocol throughput
+     python tools/tpu_emd_check.py --ab    # knob sweep: sinkhorn_rows x
+                                           # auction_iters (accuracy + ms/pair)
 """
 
 import os
@@ -18,7 +20,62 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from difffacto_tpu.utils import install_tool_watchdog
+
+install_tool_watchdog()  # tunnel hangs must not outlive the tool (VERDICT r2)
+
 import numpy as np
+
+
+def ab_sweep():
+    """A/B the sinkhorn-row-subsample + tile-skip knobs on protocol-shaped
+    work. Each config is a distinct program (env knobs key the eval caches),
+    so the tunnel content-cache can't alias sweeps; inputs vary per sweep."""
+    import jax.numpy as jnp
+
+    from difffacto_tpu.metrics import eval as ev
+    from difffacto_tpu.ops.emd import emd_cost
+    from difffacto_tpu.ops.emd_pallas import emd_assignment_hybrid
+
+    rng = np.random.RandomState(0)
+    B, n = 8, 2048
+    an = (rng.randn(B, n, 3) * 0.3).astype(np.float32)
+    bn = (rng.randn(B, n, 3) * 0.3).astype(np.float32)
+    a, b = jnp.asarray(an), jnp.asarray(bn)
+    auc = np.asarray(emd_cost(a, b, 0.002, 1500))
+    print("auction@1500 mean:", auc.mean().round(5))
+
+    S, R = 4, 128
+    sample = (rng.randn(S, n, 3) * 0.3).astype(np.float32)
+    ref = (rng.randn(R, n, 3) * 0.3).astype(np.float32)
+
+    configs = [
+        (0, 150), (1024, 150), (1024, 300), (1024, 450), (512, 300), (0, 300),
+    ]
+    for rows, a_iters in configs:
+        assign = np.asarray(
+            emd_assignment_hybrid(
+                a, b, sinkhorn_rows=rows, auction_iters=a_iters
+            )
+        )
+        hyb, dups = [], 0
+        for i in range(B):
+            d = np.sqrt(((an[i][:, None] - bn[i][None]) ** 2).sum(-1))
+            hyb.append(d[np.arange(n), assign[i]].mean())
+            dups += n - len(np.unique(assign[i]))
+        rel = np.abs(np.asarray(hyb) - auc).max() / auc.mean()
+
+        os.environ["DIFFFACTO_EMD_SINKHORN_ROWS"] = str(rows)
+        os.environ["DIFFFACTO_EMD_AUCTION_ITERS"] = str(a_iters)
+        ev.pairwise_cd_emd(sample, ref, batch_size=32)  # compile this config
+        t0 = time.perf_counter()
+        off = 0.01 * (1 + configs.index((rows, a_iters)))
+        ev.pairwise_cd_emd(sample + off, ref, batch_size=32)
+        mspair = (time.perf_counter() - t0) / (S * R) * 1e3
+        print(
+            f"rows={rows or n:4d} auction={a_iters:3d}: {mspair:5.2f} ms/pair  "
+            f"rel_err={rel:.4f}  dup={dups}/{B * n}"
+        )
 
 
 def main():
@@ -83,4 +140,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--ab" in sys.argv:
+        ab_sweep()
+    else:
+        main()

@@ -12,6 +12,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from difffacto_tpu.utils import install_tool_watchdog
+
+install_tool_watchdog()  # tunnel hangs must not outlive the tool (VERDICT r2)
+
 BATCH = 128
 NPOINTS = 2048
 WARMUP = 2
