@@ -42,28 +42,45 @@ def _conv1d_to_dense(w):
 
 
 class TreeFiller:
-    """Writes numpy leaves into a nested dict by '/'-joined path with shape checks."""
+    """Writes numpy leaves into a nested dict by '/'-joined path with shape checks.
 
-    def __init__(self, params: Dict, batch_stats: Dict):
+    ``collect=True`` turns hard failures (missing target leaf, shape
+    mismatch) into entries in ``self.problems`` so a whole conversion can be
+    surveyed and reported instead of dying on the first bad key."""
+
+    def __init__(self, params: Dict, batch_stats: Dict, collect: bool = False):
         self.trees = {"params": params, "batch_stats": batch_stats}
         self.written: List[str] = []
+        self.collect = collect
+        self.problems: List[str] = []
+
+    def _fail(self, kind, msg):
+        if self.collect:
+            self.problems.append(msg)
+            return
+        raise kind(msg)
 
     def put(self, collection: str, path: str, value: np.ndarray):
         node = self.trees[collection]
         keys = [k for k in path.split("/") if k]
         for k in keys[:-1]:
             if k not in node:
-                raise KeyError(f"{collection}/{path}: missing subtree '{k}' "
-                               f"(have {sorted(node)})")
+                return self._fail(
+                    KeyError,
+                    f"{collection}/{path}: missing subtree '{k}' (have {sorted(node)})",
+                )
             node = node[k]
         leaf = keys[-1]
         if leaf not in node:
-            raise KeyError(f"{collection}/{path}: missing leaf (have {sorted(node)})")
+            return self._fail(
+                KeyError, f"{collection}/{path}: missing leaf (have {sorted(node)})"
+            )
         tgt = np.asarray(node[leaf])
         value = np.asarray(value, tgt.dtype)
         if tgt.shape != value.shape:
-            raise ValueError(
-                f"{collection}/{path}: shape {value.shape} != target {tgt.shape}"
+            return self._fail(
+                ValueError,
+                f"{collection}/{path}: shape {value.shape} != target {tgt.shape}",
             )
         node[leaf] = value
         self.written.append(f"{collection}/{path}")
@@ -205,12 +222,17 @@ def convert_state_dict(
     aligner_depth: int = 5,
     denoiser_depth: int = 5,
     per_part_mlp: bool = True,
-) -> Tuple[Dict, Dict, List[str]]:
+    collect_problems: bool = False,
+) -> Tuple[Dict, Dict, List[str], "TreeFiller"]:
     """Convert a reference AnchorDiffAE state dict into (params, batch_stats).
 
     ``params``/``batch_stats`` are template trees (from model.init) that get
-    overwritten in place (deep-copied first). Returns the filled trees plus
-    the list of torch keys that were left unconsumed.
+    overwritten in place (deep-copied first). Returns the filled trees, the
+    list of torch keys left unconsumed, and the TreeFiller (its ``written``
+    list names every target leaf that was filled; with
+    ``collect_problems=True`` its ``problems`` list records missing target
+    leaves, shape mismatches, and per-section mapping failures instead of
+    raising on the first one).
     """
     import copy
 
@@ -218,34 +240,106 @@ def convert_state_dict(
           for k, v in torch_sd.items()}
     params = copy.deepcopy(params)
     batch_stats = copy.deepcopy(batch_stats)
-    fill = TreeFiller(params, batch_stats)
+    fill = TreeFiller(params, batch_stats, collect=collect_problems)
+
+    def section(name, fn):
+        if not collect_problems:
+            return fn()
+        try:
+            fn()
+        except Exception as e:  # survey mode: record and keep mapping
+            fill.problems.append(f"section '{name}' aborted: {type(e).__name__}: {e}")
 
     # --- PointNetV2 part encoder ------------------------------------------
     enc_t = "encoder.encoder"
     enc_j = "encoder_mod/encoder_net"
-    _map_pointnet_stack(sd, fill, enc_t, f"{enc_j}/pnet")
-    _map_head_mlp(sd, fill, f"{enc_t}.mlp_m", f"{enc_j}/mlp_m", per_part_mlp, n_class)
-    _map_head_mlp(sd, fill, f"{enc_t}.mlp_v", f"{enc_j}/mlp_v", per_part_mlp, n_class)
+    section("encoder.pnet", lambda: _map_pointnet_stack(sd, fill, enc_t, f"{enc_j}/pnet"))
+    section("encoder.mlp_m", lambda: _map_head_mlp(
+        sd, fill, f"{enc_t}.mlp_m", f"{enc_j}/mlp_m", per_part_mlp, n_class))
+    section("encoder.mlp_v", lambda: _map_head_mlp(
+        sd, fill, f"{enc_t}.mlp_v", f"{enc_j}/mlp_v", per_part_mlp, n_class))
 
     # --- part aligner transformer -----------------------------------------
     if any(k.startswith("encoder.part_aligner.") for k in sd):
-        _map_transformer_like(
+        section("part_aligner", lambda: _map_transformer_like(
             sd, fill, "encoder.part_aligner", "encoder_mod/aligner",
             aligner_depth, single_attn=True, has_class_emb=True,
-        )
+        ))
 
     # --- per-part latent flows --------------------------------------------
     if any(k.startswith("encoder.flow.") for k in sd):
-        _map_flows(sd, fill, "encoder.flow", "encoder_mod/flow", n_class, flow_depth)
+        section("flows", lambda: _map_flows(
+            sd, fill, "encoder.flow", "encoder_mod/flow", n_class, flow_depth))
 
     # --- cross-diffusion denoiser -----------------------------------------
-    _map_transformer_like(
+    section("denoiser", lambda: _map_transformer_like(
         sd, fill, "diffusion.model", "net", denoiser_depth,
         single_attn=True, has_class_emb=False, has_time_embed=True,
-    )
+    ))
 
     leftovers = sorted(sd.keys())
-    return params, batch_stats, leftovers
+    return params, batch_stats, leftovers, fill
+
+
+def _leaf_paths(tree: Dict, prefix: str) -> List[str]:
+    out = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}/{k}")
+        else:
+            out.append(path)
+
+    walk(tree, prefix)
+    return out
+
+
+def ingest_with_report(path: str, model, state):
+    """Survey-mode ingestion: load a reference ``.pth`` and return
+    ``(state, report)`` where report is a readable diff instead of a hard
+    failure — missing target leaves (left at init), suspicious unconsumed
+    model keys, expected leftovers (optimizer/extras), and shape/section
+    problems.  The day a real pretrained ``.pth`` arrives, the failure mode
+    is this report, not a stack trace (reference resume semantics:
+    runner/runner.py:492-522)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    torch_sd = ckpt.get("model", ckpt)
+    torch_sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in torch_sd.items()}
+
+    n_class = model.num_anchors
+    enc_cfg = dict(model.encoder)
+    params, batch_stats, leftovers, fill = convert_state_dict(
+        torch_sd,
+        state.params,
+        state.batch_stats,
+        n_class=n_class,
+        flow_depth=enc_cfg.get("latent_flow_depth", 14),
+        aligner_depth=(enc_cfg.get("part_aligner") or {}).get("depth", 5),
+        denoiser_depth=model.diffusion["net"].get("depth", 5),
+        per_part_mlp=enc_cfg["encoder"].get("per_part_mlp", True),
+        collect_problems=True,
+    )
+    template = _leaf_paths(state.params, "params") + _leaf_paths(
+        state.batch_stats or {}, "batch_stats"
+    )
+    report = {
+        "template_leaves": len(template),
+        "written": len(fill.written),
+        # target leaves the torch checkpoint never claimed: left at init
+        # (the aligner in a stage-1 ckpt is a LEGITIMATE entry here)
+        "missing": sorted(set(template) - set(fill.written)),
+        "suspicious": sorted(
+            k for k in leftovers if k.startswith(("encoder.", "diffusion."))
+        ),
+        "expected_leftovers": sorted(
+            k for k in leftovers if not k.startswith(("encoder.", "diffusion."))
+        ),
+        "problems": fill.problems,
+    }
+    return state.replace(params=params, batch_stats=batch_stats), report
 
 
 def load_reference_checkpoint(path: str, model, state, strict: bool = True):
@@ -258,7 +352,7 @@ def load_reference_checkpoint(path: str, model, state, strict: bool = True):
 
     n_class = model.num_anchors
     enc_cfg = dict(model.encoder)
-    params, batch_stats, leftovers = convert_state_dict(
+    params, batch_stats, leftovers, _ = convert_state_dict(
         torch_sd,
         state.params,
         state.batch_stats,

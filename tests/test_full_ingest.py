@@ -413,6 +413,53 @@ def test_car_aligner_parity_noise_scale_50(rehearsal_car):
     np.testing.assert_allclose(np.asarray(jv), tv.numpy(), atol=1e-3)
 
 
+def test_conversion_report_clean_and_corrupted(rehearsal, tmp_path):
+    """ingest_with_report: a clean .pth reports zero missing/suspicious/
+    problems; a corrupted one (shape mismatch, unknown model key, whole
+    aligner absent) names each failure class instead of stack-tracing."""
+    from difffacto_tpu.utils.torch_ingest import ingest_with_report
+
+    def build_sd():
+        sd = {}
+        sd.update(to_np_sd(rehearsal["t_enc"], "encoder.encoder."))
+        sd.update(to_np_sd(rehearsal["t_align"], "encoder.part_aligner."))
+        sd.update(to_np_sd(rehearsal["t_flows"], "encoder.flow."))
+        sd.update(to_np_sd(rehearsal["t_den"], "diffusion.model."))
+        return sd
+
+    def save(sd, name):
+        p = tmp_path / name
+        torch.save(
+            {"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, p
+        )
+        return str(p)
+
+    model, state = rehearsal["model"], rehearsal["state"]
+
+    _, clean = ingest_with_report(save(build_sd(), "clean.pth"), model, state)
+    assert clean["missing"] == []
+    assert clean["suspicious"] == []
+    assert clean["problems"] == []
+    assert clean["written"] == clean["template_leaves"]
+
+    sd = build_sd()
+    k_bad = next(
+        k for k in sorted(sd)
+        if k.startswith("diffusion.model.") and np.asarray(sd[k]).ndim == 2
+    )
+    sd[k_bad] = np.zeros((3, 5), np.float32)  # shape mismatch
+    sd["encoder.bogus_head.weight"] = np.zeros((4, 4), np.float32)  # unknown
+    for k in [k for k in sd if k.startswith("encoder.part_aligner.")]:
+        del sd[k]  # stage-1-style ckpt: aligner absent entirely
+    sd["optimizer"] = np.zeros(3, np.float32)  # expected non-model leftover
+
+    _, rep = ingest_with_report(save(sd, "corrupt.pth"), model, state)
+    assert rep["problems"], "shape mismatch must be recorded"
+    assert "encoder.bogus_head.weight" in rep["suspicious"]
+    assert any("aligner" in m for m in rep["missing"])
+    assert "optimizer" in rep["expected_leftovers"]
+
+
 def test_end_to_end_forward_with_ingested_weights(rehearsal):
     """Training loss and a reconstruction forward both run finite on the
     ingested full checkpoint."""

@@ -3,6 +3,12 @@
 Usage:
   python tools/convert_torch_ckpt.py --config-file configs/gen_chair.py \
       --input pretrained/chair.pth --output work_dirs/gen_chair/checkpoints/ckpt_0.msgpack
+
+On mismatches the tool prints a readable diff report (missing target
+leaves, unexpected/unconsumed model keys, shape mismatches) and exits 3
+instead of stack-tracing; --lenient writes the partially-converted
+checkpoint anyway (reference resume is likewise partial-tolerant,
+runner/runner.py:492-522).
 """
 
 import argparse
@@ -12,12 +18,36 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def print_report(report):
+    print(
+        f"conversion report: {report['written']}/{report['template_leaves']} "
+        f"target leaves filled, {len(report['expected_leftovers'])} expected "
+        "non-model leftovers (optimizer/extras)"
+    )
+    for key, title in (
+        ("problems", "PROBLEMS (shape mismatches / aborted sections)"),
+        ("suspicious", "UNCONSUMED MODEL KEYS (mapping gaps)"),
+        ("missing", "TARGET LEAVES LEFT AT INIT (absent from the .pth)"),
+    ):
+        items = report[key]
+        if items:
+            print(f"  {title}: {len(items)}")
+            for it in items[:20]:
+                print(f"    - {it}")
+            if len(items) > 20:
+                print(f"    ... and {len(items) - 20} more")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config-file", required=True)
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--lenient", action="store_true",
+        help="write the checkpoint even when the report has problems",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -33,7 +63,7 @@ def main():
     from difffacto_tpu.parallel.train import TrainState
     from difffacto_tpu.parallel.optim import build_optimizer_from_cfg
     from difffacto_tpu.utils.registry import MODELS, build_from_cfg
-    from difffacto_tpu.utils.torch_ingest import load_reference_checkpoint
+    from difffacto_tpu.utils.torch_ingest import ingest_with_report
 
     init_cfg(args.config_file)
     cfg = get_cfg()
@@ -67,7 +97,12 @@ def main():
     )
     tx = build_optimizer_from_cfg(dict(type="Adam", lr=1e-3))
     state = TrainState.create(jax.device_get(variables), tx)
-    state = load_reference_checkpoint(args.input, model, state)
+    state, report = ingest_with_report(args.input, model, state)
+    print_report(report)
+    bad = report["problems"] or report["suspicious"]
+    if bad and not args.lenient:
+        print("conversion FAILED (use --lenient to write anyway)", file=sys.stderr)
+        sys.exit(3)
 
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "wb") as f:
