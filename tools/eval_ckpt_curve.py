@@ -33,6 +33,14 @@ def main():
                    help="explicit checkpoint paths; default: all ckpt_*.msgpack "
                         "in <work_dir>/checkpoints sorted by epoch")
     p.add_argument("--out", default=None, help="also append JSON lines here")
+    p.add_argument(
+        "--ddim", type=int, default=0,
+        help="evaluate with DDIM fast sampling at this many steps "
+             "(reference eval option: 25 quad steps, eta=1 — "
+             "anchored_diffusion.py:114-126, configs/gen_chair.py:81-84)",
+    )
+    p.add_argument("--ddim-discretize", default="quad", choices=["uniform", "quad"])
+    p.add_argument("--ddim-eta", type=float, default=1.0)
     args = p.parse_args()
 
     from difffacto_tpu.config import get_cfg, init_cfg
@@ -47,6 +55,11 @@ def main():
     # construction (runner.py resume fallback) — a wasted deserialize.
     cfg.resume_path = None
     cfg.auto_resume = False
+    if args.ddim:
+        cfg.model.diffusion.ddim_sampling = True
+        cfg.model.diffusion.ddim_nsteps = args.ddim
+        cfg.model.diffusion.ddim_discretize = args.ddim_discretize
+        cfg.model.diffusion.ddim_eta = args.ddim_eta
 
     runner = Runner(cfg=cfg)
     ckpts = args.ckpts or sorted(

@@ -49,13 +49,22 @@ def ab_sweep():
     sample = (rng.randn(S, n, 3) * 0.3).astype(np.float32)
     ref = (rng.randn(R, n, 3) * 0.3).astype(np.float32)
 
+    # (sinkhorn_rows, auction_iters, sinkhorn_iters, sinkhorn_inner, decay)
     configs = [
-        (0, 150), (1024, 150), (1024, 300), (1024, 450), (512, 300), (0, 300),
+        (0, 150, 150, 30, 0.4),
+        (1024, 150, 150, 30, 0.4),
+        (1024, 150, 250, 25, 0.5),   # deeper anneal: trade cheap sinkhorn
+        (1024, 100, 250, 25, 0.5),   # ...for fewer expensive auction iters
+        (1024, 300, 150, 30, 0.4),
+        (512, 300, 150, 30, 0.4),
+        (0, 300, 150, 30, 0.4),
     ]
-    for rows, a_iters in configs:
+    for ci, (rows, a_iters, s_iters, s_inner, decay) in enumerate(configs):
         assign = np.asarray(
             emd_assignment_hybrid(
-                a, b, sinkhorn_rows=rows, auction_iters=a_iters
+                a, b, sinkhorn_rows=rows, auction_iters=a_iters,
+                sinkhorn_iters=s_iters, sinkhorn_inner=s_inner,
+                eps_decay=decay,
             )
         )
         hyb, dups = [], 0
@@ -67,14 +76,18 @@ def ab_sweep():
 
         os.environ["DIFFFACTO_EMD_SINKHORN_ROWS"] = str(rows)
         os.environ["DIFFFACTO_EMD_AUCTION_ITERS"] = str(a_iters)
-        ev.pairwise_cd_emd(sample, ref, batch_size=32)  # compile this config
-        t0 = time.perf_counter()
-        off = 0.01 * (1 + configs.index((rows, a_iters)))
-        ev.pairwise_cd_emd(sample + off, ref, batch_size=32)
-        mspair = (time.perf_counter() - t0) / (S * R) * 1e3
+        os.environ["DIFFFACTO_EMD_SINKHORN_ITERS"] = str(s_iters)
+        if s_inner == 30 and decay == 0.4:  # pairwise path only knows ITERS
+            ev.pairwise_cd_emd(sample, ref, batch_size=32)  # compile config
+            t0 = time.perf_counter()
+            ev.pairwise_cd_emd(sample + 0.01 * (1 + ci), ref, batch_size=32)
+            mspair = (time.perf_counter() - t0) / (S * R) * 1e3
+            ms = f"{mspair:5.2f} ms/pair"
+        else:
+            ms = "   (direct kernel only)"
         print(
-            f"rows={rows or n:4d} auction={a_iters:3d}: {mspair:5.2f} ms/pair  "
-            f"rel_err={rel:.4f}  dup={dups}/{B * n}"
+            f"rows={rows or n:4d} auction={a_iters:3d} sink={s_iters}x"
+            f"{s_inner}@{decay}: {ms}  rel_err={rel:.4f}  dup={dups}/{B * n}"
         )
 
 
