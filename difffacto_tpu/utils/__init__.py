@@ -55,6 +55,30 @@ def install_tool_watchdog(default_s: float = 1800.0):
     t.start()
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short hash of this host's CPU ISA features (/proc/cpuinfo flags).
+
+    Used to partition the persistent compile cache so CPU-AOT executables
+    compiled on one microarchitecture are never loaded on another (XLA's
+    cpu_aot_loader warns this "could lead to execution errors such as
+    SIGILL"). Falls back to the platform machine string off-Linux."""
+    import hashlib
+    import platform as _plat
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    if not feats:
+        feats = _plat.machine()
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(path: str = None):
     """Enable JAX's persistent compilation cache for CLI entry points.
 
@@ -71,15 +95,16 @@ def enable_compile_cache(path: str = None):
     path = path or os.environ.get(
         "DIFFFACTO_COMPILE_CACHE", os.path.expanduser("~/.cache/difffacto_jax")
     )
-    # Separate cache per platform: a remote-device tunnel process writes
-    # CPU-AOT entries compiled for the REMOTE host's CPU features; loading
-    # those into a local CPU-only process trips feature-mismatch warnings
-    # and risks SIGILL. (jax keys entries by program, not by executing CPU.)
-    # Read the CONFIGURED platform rather than jax.default_backend(): the
-    # latter initializes the backend, and callers (conftest, dryrun) must
-    # still be able to switch platforms after enabling the cache.
+    # Separate cache per platform AND per host CPU fingerprint: a
+    # remote-device tunnel process writes CPU-AOT entries compiled for the
+    # REMOTE host's CPU features; loading those into a local CPU-only
+    # process trips cpu_aot_loader feature-mismatch errors and risks SIGILL
+    # (jax keys entries by program, not by executing CPU — observed live in
+    # MULTICHIP_r03.json). Keying the directory by the local /proc/cpuinfo
+    # feature flags makes entries from a different microarchitecture land in
+    # a different directory instead of being loaded and trusted.
     platform = (getattr(jax.config, "jax_platforms", None) or "default").split(",")[0]
-    path = os.path.join(path, platform)
+    path = os.path.join(path, platform + "-" + _host_cpu_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -295,6 +295,29 @@ def _leaf_paths(tree: Dict, prefix: str) -> List[str]:
     return out
 
 
+def _torch_load_checkpoint(path: str):
+    """torch.load with ``weights_only=True`` first (ADVICE r3).
+
+    Reference checkpoints are plain tensor dicts (runner/runner.py:470-489)
+    and load fine under the safe unpickler; only fall back to full pickling
+    (which executes arbitrary code) if the safe path rejects the file, and
+    say so — the caller is feeding us an externally sourced artifact."""
+    import sys
+
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # non-tensor payload (e.g. embedded Config)
+        print(
+            f"[torch_ingest] weights_only load of {path} failed "
+            f"({type(e).__name__}); falling back to full unpickling — "
+            "only do this for checkpoints you trust",
+            file=sys.stderr,
+        )
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
 def ingest_with_report(path: str, model, state):
     """Survey-mode ingestion: load a reference ``.pth`` and return
     ``(state, report)`` where report is a readable diff instead of a hard
@@ -303,9 +326,7 @@ def ingest_with_report(path: str, model, state):
     problems.  The day a real pretrained ``.pth`` arrives, the failure mode
     is this report, not a stack trace (reference resume semantics:
     runner/runner.py:492-522)."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_checkpoint(path)
     torch_sd = ckpt.get("model", ckpt)
     torch_sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in torch_sd.items()}
 
@@ -344,9 +365,7 @@ def ingest_with_report(path: str, model, state):
 
 def load_reference_checkpoint(path: str, model, state, strict: bool = True):
     """Load a reference ``.pth`` into a TrainState (params + batch_stats)."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_checkpoint(path)
     torch_sd = ckpt.get("model", ckpt)
     torch_sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in torch_sd.items()}
 

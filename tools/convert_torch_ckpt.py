@@ -99,7 +99,13 @@ def main():
     state = TrainState.create(jax.device_get(variables), tx)
     state, report = ingest_with_report(args.input, model, state)
     print_report(report)
-    bad = report["problems"] or report["suspicious"]
+    # An empty model dict or wholly mis-prefixed keys would "convert" into a
+    # checkpoint of pure init weights — written == 0 is a failure, not a
+    # clean conversion (ADVICE r3).
+    bad = report["problems"] or report["suspicious"] or report["written"] == 0
+    if report["written"] == 0:
+        print("conversion wrote ZERO leaves — input has no mappable model weights",
+              file=sys.stderr)
     if bad and not args.lenient:
         print("conversion FAILED (use --lenient to write anyway)", file=sys.stderr)
         sys.exit(3)

@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from difffacto_tpu.utils import install_tool_watchdog
 
-install_tool_watchdog()  # tunnel hangs must not outlive the tool (VERDICT r2)
+# Protocol-scale dumps (400v400 with EMD ≈ 320k pairs at ~8.8 ms/pair) run
+# ~50+ min plus the ~12 min ref-ref block — give this tool the same 6 h
+# budget as eval_ckpt_curve.py, not the 30 min default (ADVICE r3).
+install_tool_watchdog(6 * 3600.0)  # tunnel hangs must not outlive the tool
 
 import numpy as np
 
