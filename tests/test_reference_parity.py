@@ -1,0 +1,698 @@
+"""Golden numerical parity against the REFERENCE'S OWN torch code.
+
+Every other parity test in this suite compares the JAX model against
+builder-rewritten torch replicas (tests/test_torch_ingest.py); a
+transcription error made twice passes those. This file instead imports the
+reference's actual classes from ``/root/reference/python`` — the real
+``PartEncoderForTransformerDecoder`` (part_encoders.py:1308),
+``PartAlignerTransformer`` (part_encoders.py:20), ``AnchoredDiffusion``
+(anchored_diffusion.py:13), ``TransformerNet`` (nets/attention.py:309),
+``PointNetV2`` (pointnet.py:124) and the coupling flows (flow.py) — built
+verbatim from ``configs/gen_chair.py`` / ``configs/train_chair_stage1.py``,
+runs them on CPU, and asserts f32 agreement with this repo's model under the
+SAME ingested weights and injected noise.
+
+CPU enablement (the only CUDA dependency in the reference forward path is
+``pointnet2_ops.pointnet2_utils.gather_operation`` — a pure index gather):
+
+* ``pointnet2_ops`` is stubbed with a pure-torch ``gather_operation`` /
+  ``furthest_point_sample`` (semantics of pointnet2_ops_lib/_ext-src/src/
+  sampling_gpu.cu:8-37,70-229);
+* the unused CUDA extension modules ``chamfer``/``emd`` and the absent
+  ``torchdiffeq``/``plyfile`` are stubbed empty (imported at package import
+  time, never called here);
+* ``torch.Tensor.cuda`` is patched to a no-op — the reference hardcodes
+  ``.cuda()`` in loss bookkeeping (part_encoders.py:1137,1176) even when the
+  math runs on CPU.
+
+Also cross-checks the metric suite against the reference's pure-torch
+``distChamfer``/``knn``/``lgan_mmd_cov`` (datasets/evaluation_utils.py:
+93-103, 205-285).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_ROOT = "/root/reference/python"
+REF_CFG = "/root/reference/configs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference tree not present"
+)
+
+K, B, N, Z, NOISE_DIM = 4, 2, 64, 256, 32
+
+
+def _install_reference():
+    """Stub the CUDA-only imports and put the reference package on the path."""
+    if "difffacto" in sys.modules:
+        return
+    p2 = types.ModuleType("pointnet2_ops")
+    pu = types.ModuleType("pointnet2_ops.pointnet2_utils")
+
+    def gather_operation(features, idx):
+        # (B, C, N) gathered by (B, m) int -> (B, C, m); matches
+        # pointnet2_ops_lib/_ext-src/src/sampling_gpu.cu:8-37.
+        idx = idx.long().unsqueeze(1).expand(-1, features.shape[1], -1)
+        return torch.gather(features, 2, idx)
+
+    def furthest_point_sample(xyz, npoint):
+        # Pure-torch FPS (sampling_gpu.cu:70-229 semantics, first point = 0).
+        Bn, Nn, _ = xyz.shape
+        out = torch.zeros(Bn, npoint, dtype=torch.int32)
+        dist = torch.full((Bn, Nn), 1e10)
+        far = torch.zeros(Bn, dtype=torch.long)
+        ib = torch.arange(Bn)
+        for i in range(npoint):
+            out[:, i] = far.int()
+            d = ((xyz - xyz[ib, far][:, None]) ** 2).sum(-1)
+            dist = torch.minimum(dist, d)
+            far = dist.argmax(-1)
+        return out
+
+    pu.gather_operation = gather_operation
+    pu.furthest_point_sample = furthest_point_sample
+    pm = types.ModuleType("pointnet2_ops.pointnet2_modules")
+
+    class _SAStub(torch.nn.Module):  # imported by encoders/pointnet2.py only
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    pm.PointnetSAModuleMSG = _SAStub
+    pm.PointnetSAModule = _SAStub
+    p2.pointnet2_utils = pu
+    p2.pointnet2_modules = pm
+    sys.modules["pointnet2_ops"] = p2
+    sys.modules["pointnet2_ops.pointnet2_utils"] = pu
+    sys.modules["pointnet2_ops.pointnet2_modules"] = pm
+    for missing in ("chamfer", "emd", "torchdiffeq", "plyfile"):
+        sys.modules.setdefault(missing, types.ModuleType(missing))
+    sys.modules["torchdiffeq"].odeint_adjoint = None
+    sys.modules["torchdiffeq"].odeint = None
+    sys.modules["plyfile"].PlyData = None
+    # CPU shim: reference loss bookkeeping hardcodes .cuda() on constants.
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import difffacto  # noqa: F401  (registers all reference modules)
+
+
+def _load_model_cfg(path):
+    from difffacto_tpu.config import Config
+
+    cfg = Config()
+    cfg.load_from_file(path)
+    return cfg.model.dump()
+
+
+def _init_our_model(model_cfg, batch):
+    import jax
+
+    from difffacto_tpu.models import AnchorDiffAE
+    from difffacto_tpu.utils.registry import MODELS, build_from_cfg
+
+    model = build_from_cfg(dict(model_cfg), MODELS)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sample": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, 0, method=AnchorDiffAE.loss))(
+        rngs, batch
+    )
+    return model, jax.device_get(variables)
+
+
+def _template_batch(seg, onehot):
+    import jax.numpy as jnp
+
+    return {
+        "input": jnp.zeros((B, N, 3), jnp.float32),
+        "ref": jnp.zeros((B, N, 3), jnp.float32),
+        "ref_seg_mask": jnp.asarray(seg, jnp.int32),
+        "seg_mask": jnp.asarray(seg, jnp.int32),
+        "ref_attn_map": jnp.asarray(onehot),
+        "attn_map": jnp.asarray(onehot),
+        "present": jnp.ones((B, K), jnp.float32),
+        "dp_present": jnp.ones((B, K), jnp.float32),
+        "part_shift": jnp.zeros((B, K, 3), jnp.float32),
+        "part_scale": jnp.ones((B, K, 3), jnp.float32),
+        "noise": jnp.zeros((B, NOISE_DIM), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    """Reference gen_chair model + our model with the SAME ingested weights."""
+    _install_reference()
+    from difffacto.utils.registry import MODELS as REF_MODELS
+    from difffacto.utils.registry import build_from_cfg as ref_build
+
+    from difffacto_tpu.utils.torch_ingest import convert_state_dict
+
+    model_cfg = _load_model_cfg(os.path.join(REF_CFG, "gen_chair.py"))
+    torch.manual_seed(0)
+    ref_model = ref_build(dict(model_cfg), REF_MODELS)
+    ref_model.eval()
+    # Non-trivial BN running stats so eval-mode BN parity is actually tested.
+    with torch.no_grad():
+        for mod in ref_model.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.normal_(0, 0.02)
+                mod.running_var.uniform_(0.9, 1.1)
+
+    seg = np.repeat(np.arange(K), N // K)[None].repeat(B, 0)
+    onehot = np.eye(K, dtype=np.float32)[seg]
+    model, variables = _init_our_model(model_cfg, _template_batch(seg, onehot))
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params, batch_stats, leftovers, fill = convert_state_dict(
+        sd, variables["params"], variables["batch_stats"]
+    )
+    suspicious = [k for k in leftovers if k.startswith(("encoder.", "diffusion."))]
+    assert not suspicious, f"unmapped reference weights: {suspicious[:8]}"
+    return {
+        "ref_model": ref_model,
+        "model": model,
+        "V": {"params": params, "batch_stats": batch_stats},
+        "seg": seg,
+        "onehot": onehot,
+        "model_cfg": model_cfg,
+    }
+
+
+def _V(ref):
+    return ref["V"]
+
+
+def test_part_code_parity(ref):
+    """PointNetV2 masked part codes, eval-mode BN (pointnet.py:187-213)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    pts = (rng.randn(B, N, 3) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        tm, tv = ref["ref_model"].encoder.get_part_code(
+            torch.from_numpy(pts), torch.from_numpy(ref["onehot"])
+        )
+    jm, jv = ref["model"].apply(
+        _V(ref), jnp.asarray(pts), jnp.asarray(ref["onehot"]),
+        method=lambda mod, p, a: mod.encoder_mod.encoder_net(p, a),
+    )
+    np.testing.assert_allclose(np.asarray(jm), tm.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), atol=1e-4)
+
+
+def test_aligner_parity(ref):
+    """PartAlignerTransformer incl. the pre_norm-skip quirk and part masking
+    (part_encoders.py:86-143; cimle cond_noise_type=0, noise_scale=100)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    pc_cf = rng.randn(B, Z, K).astype(np.float32)  # reference is channel-first
+    noise = (rng.randn(B, NOISE_DIM) * 0.01).astype(np.float32)
+    valid = np.ones((B, K), np.float32)
+    valid[1, 3] = 0.0  # dropped part: attention masking must match
+    with torch.no_grad():
+        tm, tv = ref["ref_model"].encoder.part_aligner(
+            torch.from_numpy(pc_cf), torch.from_numpy(valid), noise=torch.from_numpy(noise)
+        )
+    jm, jv = ref["model"].apply(
+        _V(ref), jnp.asarray(pc_cf.transpose(0, 2, 1)), jnp.asarray(valid),
+        jnp.asarray(noise),
+        method=lambda mod, p, v, n: mod.encoder_mod.aligner(p, v, noise=n),
+    )
+    np.testing.assert_allclose(np.asarray(jm), tm.numpy().transpose(0, 2, 1), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy().transpose(0, 2, 1), atol=5e-4)
+
+
+def test_flow_parity(ref):
+    """14-layer coupling flows: forward WITH logdet, and reverse
+    (flow.py:7-72, wired per part at part_encoders.py:386-387)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(B, Z).astype(np.float32)
+    xk = np.stack([x] * K, 1)
+    jw, jdl = ref["model"].apply(
+        _V(ref), jnp.asarray(xk), jnp.zeros((B, K, 1)),
+        method=lambda mod, a, l: mod.encoder_mod.flow(a, l),
+    )
+    jxr = ref["model"].apply(
+        _V(ref), jnp.asarray(xk),
+        method=lambda mod, a: mod.encoder_mod.flow(a, reverse=True),
+    )
+    for i in range(K):
+        with torch.no_grad():
+            tw, tdl = ref["ref_model"].encoder.flow[i](
+                torch.from_numpy(x), torch.zeros(B, 1), reverse=False
+            )
+            txr = ref["ref_model"].encoder.flow[i](torch.from_numpy(x), reverse=True)
+        np.testing.assert_allclose(np.asarray(jw[:, i]), tw.numpy(), atol=1e-4)
+        # |logdet| is O(200) with random init: relative comparison
+        np.testing.assert_allclose(
+            np.asarray(jdl[:, i]), tdl.numpy(), rtol=1e-5, atol=1e-3
+        )
+        np.testing.assert_allclose(np.asarray(jxr[:, i]), txr.numpy(), atol=1e-4)
+
+
+def test_prior_loss_parity(ref):
+    """Flow prior loss pieces (part_encoders.py:1143-1183). gen_chair has
+    kl_weight=0, so also assert the per-part log-prob/entropy summaries."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    pc_means = (rng.randn(B, K, Z) * 0.1).astype(np.float32)
+    pc_logvars = (rng.randn(B, K, Z) * 0.1 - 1).astype(np.float32)
+    valid = np.ones((B, K), np.float32)
+    with torch.no_grad():
+        tp = ref["ref_model"].encoder.get_prior_loss(
+            torch.from_numpy(pc_means.transpose(0, 2, 1)),
+            torch.from_numpy(pc_means),
+            torch.from_numpy(pc_logvars),
+            torch.from_numpy(valid),
+        )
+    jp = ref["model"].apply(
+        _V(ref), jnp.asarray(pc_means), jnp.asarray(pc_means),
+        jnp.asarray(pc_logvars), jnp.asarray(valid),
+        method=lambda mod, a, b, c, d: mod.encoder_mod.get_prior_loss(a, b, c, d),
+    )
+    for i in range(K):
+        np.testing.assert_allclose(
+            float(jp[f"log_p_part_{i}"]),
+            float(tp[f"log_p_part_{i}"]),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(jp[f"entropy_{i}"]), float(tp[f"entropy_{i}"]), rtol=1e-5
+        )
+    np.testing.assert_allclose(float(jp["prior_loss"]), float(tp["prior_loss"]), atol=1e-6)
+
+
+def _shared_diffusion_inputs(ref):
+    """Deterministic mid-pipeline tensors shared by both sides."""
+    rng = np.random.RandomState(4)
+    seg = ref["seg"]
+    part_code = rng.randn(B, K, Z).astype(np.float32)
+    mean = (rng.randn(B, K, 3) * 0.1).astype(np.float32)
+    logvar = (rng.randn(B, K, 3) * 0.2 - 1).astype(np.float32)
+    valid = np.ones((B, K), np.float32)
+    x = rng.randn(B, N, 3).astype(np.float32)
+    t = np.array([0, 42], np.int64)  # covers the t==0 no-noise branch
+    return seg, part_code, mean, logvar, valid, x, t, rng
+
+
+def _ref_ctx_and_pp(ref, seg, part_code, mean, logvar, valid):
+    segt = torch.from_numpy(seg.astype(np.int32))
+    mean_cf = torch.from_numpy(mean.transpose(0, 2, 1))
+    logvar_cf = torch.from_numpy(logvar.transpose(0, 2, 1))
+    with torch.no_grad():
+        mean_pp, logvar_pp, flag_pp = ref["ref_model"].encoder.gather_all(
+            segt, anchors=mean_cf, variances=logvar_cf, valid_id=torch.from_numpy(valid)
+        )
+        ctx = ref["ref_model"].encoder.prepare_ctx(
+            torch.from_numpy(part_code.transpose(0, 2, 1)), mean_cf, logvar_cf,
+            anchor_assignments=segt,
+        )
+    return segt, ctx, mean_pp, logvar_pp, flag_pp
+
+
+def _our_ctx_and_pp(ref, seg, part_code, mean, logvar, valid):
+    import jax.numpy as jnp
+
+    seg_j = jnp.asarray(seg, jnp.int32)
+    mean_pp, logvar_pp, flag_pp = ref["model"].apply(
+        _V(ref), seg_j, jnp.asarray(mean), jnp.asarray(logvar), jnp.asarray(valid),
+        method=lambda mod, s, a, vv, f: mod.encoder_mod.gather_all(
+            s, anchors=a, variances=vv, valid_id=f
+        ),
+    )
+    ctx = ref["model"].apply(
+        _V(ref), jnp.asarray(part_code), jnp.asarray(mean), jnp.asarray(logvar),
+        method=lambda mod, a, b, c: mod.encoder_mod.prepare_ctx(a, b, c, seg_mask=seg_j),
+    )
+    return seg_j, ctx, mean_pp, logvar_pp, flag_pp
+
+
+def test_ctx_and_fit_loss_parity(ref):
+    """Token-context assembly (part_encoders.py:1317-1326) + fit loss type 4
+    (part_encoders.py:514-519)."""
+    seg, part_code, mean, logvar, valid, x, t, rng = _shared_diffusion_inputs(ref)
+    segt, tctx, tmean_pp, tlogvar_pp, tflag_pp = _ref_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    seg_j, jctx, jmean_pp, jlogvar_pp, jflag_pp = _our_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(jctx), torch.cat(tctx, 1).transpose(1, 2).numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jmean_pp), tmean_pp.transpose(1, 2).numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(jflag_pp), tflag_pp[:, 0].numpy(), atol=0)
+
+    import jax.numpy as jnp
+
+    gt_shift = (rng.randn(B, K, 3) * 0.1).astype(np.float32)
+    gt_var = (np.abs(rng.randn(B, K, 3)) * 0.3 + 0.5).astype(np.float32)
+    ref_pts = rng.randn(B, N, 3).astype(np.float32)
+    with torch.no_grad():
+        tfl = ref["ref_model"].encoder.get_fit_loss(
+            torch.from_numpy(ref_pts.transpose(0, 2, 1)),
+            torch.from_numpy(mean.transpose(0, 2, 1)),
+            torch.from_numpy(logvar.transpose(0, 2, 1)),
+            torch.from_numpy(valid),
+            tmean_pp, tlogvar_pp, tflag_pp,
+            torch.from_numpy(gt_shift.transpose(0, 2, 1)),
+            torch.from_numpy(gt_var.transpose(0, 2, 1)),
+            segt,
+        )
+    jfl = ref["model"].apply(
+        _V(ref), jnp.asarray(ref_pts), jnp.asarray(mean), jnp.asarray(logvar),
+        jnp.asarray(valid), jmean_pp, jlogvar_pp, jflag_pp,
+        jnp.asarray(gt_shift), jnp.asarray(gt_var), seg_j,
+        method=lambda mod, *a: mod.encoder_mod.get_fit_loss(*a),
+    )
+    np.testing.assert_allclose(np.asarray(jfl), tfl.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_p_mean_variance_and_p_sample_parity(ref):
+    """Full denoiser (TransformerNet, attention.py:385-440) through the
+    reverse posterior (anchored_diffusion.py:227-395) and one p_sample step
+    with injected noise (anchored_diffusion.py:450-484)."""
+    import jax
+
+    from difffacto_tpu.models.anchor_diff import _model_fn
+
+    seg, part_code, mean, logvar, valid, x, t, rng = _shared_diffusion_inputs(ref)
+    segt, tctx, tmean_pp, tlogvar_pp, _ = _ref_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    seg_j, jctx, jmean_pp, jlogvar_pp, _ = _our_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    import jax.numpy as jnp
+
+    tvar_pp = torch.exp(tlogvar_pp)
+    jvar_pp = jnp.exp(jlogvar_pp)
+    x_cf = torch.from_numpy(x.transpose(0, 2, 1))
+    tt = torch.from_numpy(t)
+    with torch.no_grad():
+        tout = ref["ref_model"].diffusion.p_mean_variance(
+            x_cf, tt, tmean_pp, ctx=tctx, variance=tvar_pp,
+            anchor_assignment=segt, valid_id=torch.from_numpy(valid),
+        )
+    mf = _model_fn(ref["model"], _V(ref))
+    jdiff = ref["model"].apply(_V(ref), method=lambda mod: mod.diff)
+    jout = jdiff.p_mean_variance(
+        mf, jnp.asarray(x), jnp.asarray(t, jnp.int32), jmean_pp, ctx=jctx,
+        variance=jvar_pp, seg_mask=seg_j, valid_id=jnp.asarray(valid),
+    )
+    for key in ("mean", "variance", "log_variance", "pred_xstart"):
+        np.testing.assert_allclose(
+            np.asarray(jout[key]), tout[key].transpose(1, 2).numpy(),
+            atol=3e-4,
+            err_msg=key,
+        )
+
+    # one reverse step, identical Gaussian draw on both sides
+    eps = rng.randn(B, N, 3).astype(np.float32)
+    randn_like = torch.randn_like
+    torch.randn_like = lambda ten, **k: torch.from_numpy(eps.transpose(0, 2, 1)).to(ten)
+    try:
+        with torch.no_grad():
+            tps = ref["ref_model"].diffusion.p_sample(
+                x_cf, tt, tmean_pp, ctx=tctx, variance=tvar_pp,
+                anchor_assignment=segt, valid_id=torch.from_numpy(valid),
+            )
+    finally:
+        torch.randn_like = randn_like
+    jps = jdiff.p_sample(
+        mf, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t, jnp.int32),
+        jmean_pp, ctx=jctx, variance=jvar_pp, seg_mask=seg_j,
+        valid_id=jnp.asarray(valid), noise=jnp.asarray(eps),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jps["sample"]), tps["sample"].transpose(1, 2).numpy(), atol=3e-4
+    )
+    # t==0 row must be noise-free on both sides: equal to the posterior mean
+    np.testing.assert_allclose(
+        np.asarray(jps["sample"][0]), np.asarray(jout["mean"][0]), atol=1e-6
+    )
+
+
+def test_training_losses_parity(ref):
+    """training_losses with injected q-noise, per-point flags from a dropped
+    part (anchored_diffusion.py:760-852; gen_chair: epsilon target,
+    fixed_small var, anchored per-point variance)."""
+    from difffacto_tpu.models.anchor_diff import _model_fn
+
+    seg, part_code, mean, logvar, valid, x, t, rng = _shared_diffusion_inputs(ref)
+    dp_valid = np.ones((B, K), np.float32)
+    dp_valid[0, 2] = 0.0
+    segt, tctx, tmean_pp, tlogvar_pp, _ = _ref_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    seg_j, jctx, jmean_pp, jlogvar_pp, _ = _our_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    import jax.numpy as jnp
+
+    noise = rng.randn(B, N, 3).astype(np.float32)
+    tflags = torch.from_numpy(
+        np.take_along_axis(dp_valid, seg, axis=1)[:, None, :].astype(np.float32)
+    )
+    with torch.no_grad():
+        ttl = ref["ref_model"].diffusion.training_losses(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            torch.from_numpy(t),
+            anchors=tmean_pp,
+            variance=torch.exp(tlogvar_pp),
+            ctx=tctx,
+            anchor_assignment=segt,
+            valid_id=torch.from_numpy(dp_valid),
+            flags=tflags,
+            noise=torch.from_numpy(noise.transpose(0, 2, 1)),
+        )
+    jdiff = ref["model"].apply(_V(ref), method=lambda mod: mod.diff)
+    jtl = jdiff.training_losses(
+        _model_fn(ref["model"], _V(ref)),
+        None,
+        jnp.asarray(x),
+        jnp.asarray(t, jnp.int32),
+        anchors=jmean_pp,
+        variance=jnp.exp(jlogvar_pp),
+        ctx=jctx,
+        seg_mask=seg_j,
+        valid_id=jnp.asarray(dp_valid),
+        flags=jnp.asarray(np.take_along_axis(dp_valid, seg, axis=1)),
+        noise=jnp.asarray(noise),
+    )
+    np.testing.assert_allclose(
+        float(jtl["mse_loss"]), float(ttl["mse_loss"]), rtol=1e-4
+    )
+    # gen_chair runs fixed_small variance: the reference must NOT emit a vb
+    # term (learn_variance only scales the anchored kernel), and neither do we
+    assert "vb_loss" not in ttl and "vb_loss" not in jtl
+
+
+def test_reference_vb_branch_unrunnable_as_shipped(ref):
+    """Pin the reference defect our _vb_terms deliberately deviates from:
+    with model_var_type='learned_range' the reference's _vb_terms_bpd
+    permutes a 3-D posterior variance with 4 indices
+    (anchored_diffusion.py:656) and raises. No shipped config enables it.
+    If a fixed reference ever lands, this test fails and the vb math should
+    then be cross-checked directly (difffacto_tpu/models/diffusion.py:416)."""
+    from difffacto.utils.registry import DIFFUSIONS as REF_DIFFUSIONS
+    from difffacto.utils.registry import build_from_cfg as ref_build
+
+    dcfg = dict(ref["model_cfg"]["diffusion"])
+    dcfg["net"] = dict(dcfg["net"], out_channels=6)
+    dcfg["model_var_type"] = "learned_range"
+    torch.manual_seed(3)
+    ref_diff = ref_build(dcfg, REF_DIFFUSIONS, num_timesteps=16).eval()
+    seg, part_code, mean, logvar, valid, x, t, rng = _shared_diffusion_inputs(ref)
+    segt, tctx, tmean_pp, tlogvar_pp, _ = _ref_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    with pytest.raises(RuntimeError, match="permute"):
+        with torch.no_grad():
+            ref_diff.training_losses(
+                torch.from_numpy(x.transpose(0, 2, 1)),
+                torch.from_numpy(np.array([0, 5], np.int64)),
+                anchors=tmean_pp,
+                variance=torch.exp(tlogvar_pp),
+                ctx=tctx,
+                anchor_assignment=segt,
+                valid_id=torch.from_numpy(valid),
+                noise=torch.from_numpy(rng.randn(B, 3, N).astype(np.float32)),
+            )
+
+
+def test_stage1_encoder_loss_parity(ref):
+    """Stage-1 config (train_chair_stage1.py): NO aligner, use_gt_params,
+    kl annealing 1e-7 -> 5e-4. Compare the full encoder forward's losses and
+    outputs under injected reparameterization noise."""
+    _install_reference()
+    import jax.numpy as jnp
+
+    from difffacto.utils.registry import MODELS as REF_MODELS
+    from difffacto.utils.registry import build_from_cfg as ref_build
+
+    from difffacto_tpu.utils.torch_ingest import convert_state_dict
+
+    model_cfg = _load_model_cfg(os.path.join(REF_CFG, "train_chair_stage1.py"))
+    torch.manual_seed(7)
+    ref_model = ref_build(dict(model_cfg), REF_MODELS).eval()
+    seg = ref["seg"]
+    onehot = ref["onehot"]
+    model, variables = _init_our_model(model_cfg, _template_batch(seg, onehot))
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params, batch_stats, leftovers, _ = convert_state_dict(
+        sd, variables["params"], variables["batch_stats"]
+    )
+    assert not [k for k in leftovers if k.startswith(("encoder.", "diffusion."))]
+    V = {"params": params, "batch_stats": batch_stats}
+
+    rng = np.random.RandomState(9)
+    pts = (rng.randn(B, N, 3) * 0.3).astype(np.float32)
+    gt_shift = (rng.randn(B, K, 3) * 0.1).astype(np.float32)
+    gt_scale = (np.abs(rng.randn(B, K, 3)) * 0.3 + 0.5).astype(np.float32)
+    reparam_eps = rng.randn(B, K, Z).astype(np.float32)
+    pcds = {
+        "input": torch.from_numpy(pts),
+        "ref": torch.from_numpy(pts),
+        "ref_seg_mask": torch.from_numpy(seg.astype(np.int64)),
+        "ref_attn_map": torch.from_numpy(onehot),
+        "attn_map": torch.from_numpy(onehot),
+        "present": torch.ones(B, K),
+        "part_shift": torch.from_numpy(gt_shift.transpose(0, 2, 1)),
+        "part_scale": torch.from_numpy(gt_scale.transpose(0, 2, 1)),
+        "noise": torch.zeros(B, NOISE_DIM),
+    }
+    randn_like = torch.randn_like
+    torch.randn_like = lambda ten, **k: torch.from_numpy(reparam_eps).to(ten)
+    try:
+        with torch.no_grad():
+            tctx, tmean_pp, tlogvar_pp, tflag_pp, tloss, _ = ref_model.encoder(
+                pcds, "cpu", epoch=1000
+            )
+    finally:
+        torch.randn_like = randn_like
+
+    # our encoder: inject the identical reparameterization draw by overriding
+    # the part-code sample (gen=True path draws eps via the 'sample' rng) —
+    # recompute part_code = mean + std * eps from the part-code stats.
+    jm, jlv = model.apply(
+        V, jnp.asarray(pts), jnp.asarray(onehot),
+        method=lambda mod, p, a: mod.encoder_mod.encoder_net(p, a),
+    )
+    part_code = np.asarray(jm) + np.exp(0.5 * np.asarray(jlv)) * reparam_eps
+    jp = model.apply(
+        V, jnp.asarray(part_code), jm, jlv, jnp.ones((B, K)),
+        method=lambda mod, a, b, c, d: mod.encoder_mod.get_prior_loss(
+            a, b, c, d, epoch=1000
+        ),
+    )
+    np.testing.assert_allclose(
+        float(jp["prior_loss"]), float(tloss["prior_loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(jp["kl_weight"]), float(tloss["kl_weight"]), rtol=1e-6
+    )
+    # stage-1 uses gt params: per-point anchors must be the gathered gt stats
+    seg_j = jnp.asarray(seg, jnp.int32)
+    jmean_pp, jlogvar_pp, _ = model.apply(
+        V, seg_j, jnp.asarray(gt_shift), jnp.asarray(np.log(gt_scale**2)),
+        jnp.ones((B, K)),
+        method=lambda mod, s, a, vv, f: mod.encoder_mod.gather_all(
+            s, anchors=a, variances=vv, valid_id=f
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jmean_pp), tmean_pp.transpose(1, 2).numpy(), atol=1e-6
+    )
+    # reference returns logvar_pp + log_scale_var (scale_var=1 -> +0)
+    np.testing.assert_allclose(
+        np.asarray(jlogvar_pp), tlogvar_pp.transpose(1, 2).numpy(), atol=1e-5
+    )
+
+
+# --------------------------------------------------------------------------
+# Metric-suite cross-checks against the reference's pure-torch implementations
+# --------------------------------------------------------------------------
+
+
+def test_pairwise_chamfer_matches_reference_distchamfer(ref):
+    """Our batched pairwise CD == reference distChamfer double loop
+    (evaluation_utils.py:93-103, pairwise assembly :143-200)."""
+    import jax.numpy as jnp
+
+    from difffacto.datasets.evaluation_utils import distChamfer
+
+    from difffacto_tpu.ops.chamfer import pairwise_chamfer
+
+    rng = np.random.RandomState(11)
+    S, R, Np = 5, 7, 96
+    sample = rng.randn(S, Np, 3).astype(np.float32)
+    refs = rng.randn(R, Np, 3).astype(np.float32)
+    tmat = np.zeros((S, R), np.float32)
+    with torch.no_grad():
+        for i in range(S):
+            for j in range(R):
+                dl, dr = distChamfer(
+                    torch.from_numpy(sample[i : i + 1]), torch.from_numpy(refs[j : j + 1])
+                )
+                tmat[i, j] = float(dl.mean() + dr.mean())
+    jmat = np.asarray(pairwise_chamfer(jnp.asarray(sample), jnp.asarray(refs)))
+    np.testing.assert_allclose(jmat, tmat, rtol=1e-4, atol=1e-5)
+
+
+def test_knn_matches_reference(ref):
+    """1-NNA accuracy: ours vs the reference's torch knn on the same
+    distance matrices (evaluation_utils.py:205-242)."""
+    from difffacto.datasets import evaluation_utils as ref_eval
+
+    from difffacto_tpu.metrics.eval import knn as our_knn
+
+    rng = np.random.RandomState(12)
+    n0, n1 = 9, 11
+    Mxx = rng.rand(n0, n0).astype(np.float32)
+    Mxx = (Mxx + Mxx.T) / 2
+    Myy = rng.rand(n1, n1).astype(np.float32)
+    Myy = (Myy + Myy.T) / 2
+    Mxy = rng.rand(n0, n1).astype(np.float32)
+    for k in (1, 3):
+        with torch.no_grad():
+            tr = ref_eval.knn(
+                torch.from_numpy(Mxx), torch.from_numpy(Mxy), torch.from_numpy(Myy), k
+            )
+        jr = our_knn(Mxx, Mxy, Myy, k=k)
+        for key in ("acc", "acc_t", "acc_f", "precision", "recall"):
+            np.testing.assert_allclose(jr[key], float(tr[key]), atol=1e-6, err_msg=key)
+
+
+def test_lgan_mmd_cov_matches_reference(ref):
+    """MMD/COV incl. the outlier-threshold quirk
+    (evaluation_utils.py:245-270)."""
+    from difffacto.datasets import evaluation_utils as ref_eval
+
+    from difffacto_tpu.metrics.eval import lgan_mmd_cov as our_lgan
+
+    rng = np.random.RandomState(13)
+    dist = rng.rand(10, 12).astype(np.float32)
+    dist[3, :] += 5.0
+    for thresh in (1000.0, 0.5):
+        with torch.no_grad():
+            tr = ref_eval.lgan_mmd_cov(torch.from_numpy(dist), thresh=thresh)
+        jr = our_lgan(dist, thresh=thresh)
+        for key in ("lgan_mmd", "lgan_cov", "lgan_mmd_smp"):
+            np.testing.assert_allclose(
+                jr[key], float(tr[key]), rtol=1e-6, err_msg=f"{key}@{thresh}"
+            )
