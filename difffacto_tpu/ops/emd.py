@@ -181,6 +181,10 @@ def resolved_emd_eval_config(n: Optional[int] = None):
         # warm-start sinkhorn row subsample (0 = all rows): only g seeds the
         # auction, so an (m, n) sinkhorn costs m/n of the square one.
         int(os.environ.get("DIFFFACTO_EMD_SINKHORN_ROWS", 0)),
+        # auction rounds per while-loop body (>1 amortizes the per-iteration
+        # scalar-core sync of the dynamic-exit loop; early exit granularity
+        # becomes the chunk, overshoot rounds are converged no-ops).
+        int(os.environ.get("DIFFFACTO_EMD_AUCTION_CHUNK", 1)),
     )
 
 
@@ -198,7 +202,7 @@ def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iter
       * ``auction`` (default off-TPU) — the XLA while_loop auction with the
         reference knobs (eps/iters), exact behavioral parity.
     """
-    impl, sinkhorn_iters, auction_iters, interpret, auction_cache, skrows = (
+    impl, sinkhorn_iters, auction_iters, interpret, auction_cache, skrows, chunk = (
         resolved_emd_eval_config(xyz1.shape[1])
     )
     if impl == "hybrid":
@@ -217,6 +221,7 @@ def emd_cost_eval(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.002, iter
             xyz1, xyz2, eps=eps, interpret=interpret,
             sinkhorn_iters=sinkhorn_iters,
             auction_iters=auction_iters,
+            auction_chunk=chunk,
             auction_from_cache=auction_cache,
             sinkhorn_rows=skrows,
         )

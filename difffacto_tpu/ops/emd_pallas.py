@@ -49,7 +49,8 @@ _NEG = -1e9
 
 
 def _emd_hybrid_kernel(
-    n, tile, sinkhorn_iters, sinkhorn_inner, auction_iters, eps_final,
+    n, tile, sinkhorn_iters, sinkhorn_inner, auction_iters, auction_chunk,
+    eps_final,
     eps_start, eps_decay, cache_dist, auction_from_cache, sinkhorn_rows,
     x1_ref, x2t_ref, sq1_ref, sq2_ref, out_ref,
     f_s, g_s, price_s, assign_s, owner_s, winval_s, winrow_s, m_s, sum_s,
@@ -222,12 +223,11 @@ def _emd_hybrid_kernel(
 
         return n_unass + jax.lax.cond(touched, do, lambda _: cnt_s[0, t], 0)
 
-    def auc_cond(st):
-        it, n_unass = st
-        return jnp.logical_and(it < auction_iters, n_unass > 0)
-
-    def auc_body(st):
-        it, _ = st
+    def one_auction_iter(_):
+        """One bid/assign round. Returns the new unassigned count. Once the
+        matching has converged (all per-tile counts zero) every bid/update
+        cond is false, so extra rounds are cheap no-ops — which makes the
+        chunked driver below safe."""
         winval_s[...] = jnp.full((1, n), _NEG, jnp.float32)
         winrow_s[...] = jnp.full((1, n), n, jnp.int32)
         jax.lax.fori_loop(0, nt, bid_t, jnp.int32(0))
@@ -235,9 +235,37 @@ def _emd_hybrid_kernel(
         price_s[...] = price_s[...] + jnp.where(taken, winval_s[...], 0.0)
         n_unass = jax.lax.fori_loop(0, nt, upd_t, jnp.int32(0))
         owner_s[...] = jnp.where(taken, winrow_s[...], owner_s[...])
-        return it + 1, n_unass
+        return n_unass
 
-    jax.lax.while_loop(auc_cond, auc_body, (jnp.int32(0), jnp.int32(n)))
+    if auction_chunk <= 1:
+        def auc_cond(st):
+            it, n_unass = st
+            return jnp.logical_and(it < auction_iters, n_unass > 0)
+
+        def auc_body(st):
+            it, _ = st
+            return it + 1, one_auction_iter(0)
+
+        jax.lax.while_loop(auc_cond, auc_body, (jnp.int32(0), jnp.int32(n)))
+    else:
+        # Chunked driver: the dynamic-exit while_loop costs a scalar-core
+        # sync per iteration; running ``auction_chunk`` rounds per while
+        # body amortizes that seam while keeping a coarse early exit
+        # (granularity = chunk; overshoot rounds are converged no-ops).
+        n_chunks = (auction_iters + auction_chunk - 1) // auction_chunk
+
+        def auc_cond(st):
+            c, n_unass = st
+            return jnp.logical_and(c < n_chunks, n_unass > 0)
+
+        def auc_body(st):
+            c, _ = st
+            n_unass = jax.lax.fori_loop(
+                0, auction_chunk, lambda i, u: one_auction_iter(u), jnp.int32(n)
+            )
+            return c + 1, n_unass
+
+        jax.lax.while_loop(auc_cond, auc_body, (jnp.int32(0), jnp.int32(n)))
 
     # force-assign stragglers to their best object (reference 'last' flag)
     def force_t(t, c):
@@ -258,6 +286,7 @@ def emd_assignment_hybrid(
     sinkhorn_iters: int = 150,
     sinkhorn_inner: int = 30,
     auction_iters: int = 300,
+    auction_chunk: int = 1,
     eps: float = 0.002,
     eps_start: float = 0.05,
     eps_decay: float = 0.4,
@@ -307,7 +336,7 @@ def emd_assignment_hybrid(
     cache_dist = n <= 2048
     kernel = functools.partial(
         _emd_hybrid_kernel, n, tile, sinkhorn_iters, sinkhorn_inner,
-        auction_iters, eps, eps_start, eps_decay, cache_dist,
+        auction_iters, auction_chunk, eps, eps_start, eps_decay, cache_dist,
         auction_from_cache, m,
     )
     vec_f32 = pltpu.VMEM((1, n), f32)

@@ -258,6 +258,65 @@ class TestDataset:
         assert "1-NN-CD-acc" in metrics
         assert save["pred"].shape[0] == 3
 
+    def test_evaluate_gen_part_mode(self, monkeypatch):
+        """Whole-path dispatch of eval_mode='gen_part' (metrics/eval.py:
+        799-815; reference shapenet_seg.py:375-388): compute_all_metrics +
+        snapping + oracle snapping + presence-weighted part metrics + bbox
+        chamfer metrics, all finite and sane on synthetic preds+masks."""
+        monkeypatch.setenv("DIFFFACTO_EMD_ITERS", "64")  # sanity, not accuracy
+        rng = np.random.RandomState(5)
+        results = []
+        # parts sized so parts 0/1 pass the >100-point per-part threshold and
+        # parts 2/3 are dropped by compute_part_metric (both branches run)
+        part_sizes = [256, 128, 64, 64]
+        N = sum(part_sizes)
+        mask_row = np.concatenate(
+            [np.full(s, i, np.int64) for i, s in enumerate(part_sizes)]
+        )
+        for b in range(2):
+            B = 2
+            base = rng.rand(B, N, 3).astype(np.float32)
+            # separate the parts spatially so snapping/bbox stats are non-trivial
+            offsets = np.array(
+                [[0, 0, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1]], np.float32
+            )
+            pred = base + offsets[mask_row][None]
+            ref = rng.rand(B, N, 3).astype(np.float32) + offsets[mask_row][None]
+            results.append(
+                {
+                    "pred": pred,
+                    "pred_seg_mask": mask_row[None].repeat(B, 0),
+                    "input_ref": ref,
+                    "ref_seg_mask": mask_row[None].repeat(B, 0),
+                    "present": np.ones((B, 4), np.float32),
+                    "shift": np.zeros((B, 1, 3), np.float32),
+                    "scale": np.ones((B, 1, 1), np.float32),
+                }
+            )
+        save, metrics = evaluate_batches(
+            results, save_num_batch=1, eval_mode="gen_part", batch_size=4
+        )
+        # full key families of the reference's part-aware eval
+        for key in (
+            "1-NN-CD-acc",
+            "1-NN-EMD-acc",
+            "lgan_mmd-CD",
+            "lgan_cov-CD",
+            "snapping_Chair_0",
+            "oracle_snapping_Chair_0",
+            "part_weighted_1-NN-CD-acc",
+            "part_weighted_lgan_mmd-CD",
+            "bbox_lgan_mmd-bbox_chamfer",
+            "bbox_1-NN-bbox_chamfer-acc",
+        ):
+            assert key in metrics, f"missing {key}: {sorted(metrics)}"
+            assert np.isfinite(metrics[key]), f"non-finite {key}"
+        # accuracies are probabilities
+        for k, v in metrics.items():
+            if k.endswith("acc"):
+                assert 0.0 <= v <= 1.0, (k, v)
+        assert save["pred"].shape[0] == 2
+
     def test_snapping_metric(self):
         rng = np.random.RandomState(0)
         preds = rng.rand(2, 128, 3).astype(np.float32)

@@ -381,6 +381,24 @@ class TestEMDHybrid:
             assert n - len(np.unique(assign[i])) <= 3, "far from bijective"
             assert abs(got / opt - 1.0) <= 0.015, f"cost {got} vs optimal {opt}"
 
+    def test_chunked_auction_matches_unchunked(self):
+        """auction_chunk>1 only changes loop scheduling (fori rounds inside
+        the dynamic-exit while); the assignment must be IDENTICAL to the
+        per-iteration while loop — converged overshoot rounds are no-ops."""
+        from difffacto_tpu.ops.emd_pallas import emd_assignment_hybrid
+
+        rng = np.random.RandomState(17)
+        B, n = 2, 256
+        a = jnp.asarray(rng.randn(B, n, 3).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.randn(B, n, 3).astype(np.float32) * 0.3)
+        base = np.asarray(
+            emd_assignment_hybrid(a, b, tile=128, interpret=True)
+        )
+        chunked = np.asarray(
+            emd_assignment_hybrid(a, b, tile=128, interpret=True, auction_chunk=8)
+        )
+        np.testing.assert_array_equal(base, chunked)
+
     def test_emd_cost_eval_routing(self, monkeypatch):
         """emd_cost_eval with DIFFFACTO_EMD_IMPL=hybrid (interpret) agrees
         with the auction implementation to metric accuracy."""
