@@ -173,7 +173,12 @@ def _emd_hybrid_kernel(
         per iteration."""
 
         def do(_):
-            value = -dist_tile_auction(t) - price_s[...]       # (tile, n)
+            # All-f32 bidding. bf16 bidding (value + the three lane
+            # reductions at 2x VPU rate off the bf16 cache) was BUILT AND
+            # REJECTED: Mosaic cannot relayout the (tile, n) i1 masks a bf16
+            # compare produces (16, 128) tiling against the i32 lane-index
+            # vectors (8, 128) — "Invalid relayout ... vector<256x2048xi1>".
+            value = -dist_tile_auction(t) - price_s[...]       # (tile, n) f32
             best = jnp.max(value, axis=1, keepdims=True)
             bid = jnp.min(jnp.where(value >= best, lane_i32, n), axis=1)
             masked = jnp.where(lane_i32 == bid[:, None], _NEG, value)
