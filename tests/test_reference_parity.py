@@ -502,6 +502,67 @@ def test_training_losses_parity(ref):
     assert "vb_loss" not in ttl and "vb_loss" not in jtl
 
 
+def test_ddim_p_sample_parity(ref):
+    """DDIM branch (anchored_diffusion.py:114-126, 368-377, 480-481) at the
+    gen_chair option values (nsteps=25, quad, eta=1): step subset, xt_dir
+    coefficient, and one injected-noise DDIM p_sample step."""
+    import jax
+
+    from difffacto.utils.registry import DIFFUSIONS as REF_DIFFUSIONS
+    from difffacto.utils.registry import build_from_cfg as ref_build
+
+    from difffacto_tpu.models.anchor_diff import _model_fn
+    from difffacto_tpu.utils.registry import DIFFUSIONS as OUR_DIFFUSIONS
+    from difffacto_tpu.utils.registry import build_from_cfg as our_build
+
+    dcfg = dict(ref["model_cfg"]["diffusion"], ddim_sampling=True)
+    ref_diff = ref_build(dict(dcfg), REF_DIFFUSIONS, num_timesteps=100).eval()
+    # share the trained denoiser weights with the fixture's model
+    ref_diff.model.load_state_dict(ref["ref_model"].diffusion.model.state_dict())
+    our_diff = our_build(dict(dcfg), OUR_DIFFUSIONS, num_timesteps=100)
+
+    np.testing.assert_array_equal(
+        np.asarray(our_diff.steps), np.asarray(ref_diff.steps)
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_diff.xt_dir_coeff),
+        np.asarray(ref_diff.xt_dir_coeff, np.float32),
+        rtol=1e-6,
+    )
+
+    seg, part_code, mean, logvar, valid, x, _, rng = _shared_diffusion_inputs(ref)
+    t = np.array([ref_diff.steps[3], ref_diff.steps[20]], np.int64)
+    segt, tctx, tmean_pp, tlogvar_pp, _ = _ref_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    seg_j, jctx, jmean_pp, jlogvar_pp, _ = _our_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    import jax.numpy as jnp
+
+    eps = rng.randn(B, N, 3).astype(np.float32)
+    randn_like = torch.randn_like
+    torch.randn_like = lambda ten, **k: torch.from_numpy(eps.transpose(0, 2, 1)).to(ten)
+    try:
+        with torch.no_grad():
+            tps = ref_diff.p_sample(
+                torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(t),
+                tmean_pp, ctx=tctx, variance=torch.exp(tlogvar_pp),
+                anchor_assignment=segt, valid_id=torch.from_numpy(valid),
+            )
+    finally:
+        torch.randn_like = randn_like
+    jps = our_diff.p_sample(
+        _model_fn(ref["model"], _V(ref)), jax.random.PRNGKey(0), jnp.asarray(x),
+        jnp.asarray(t, jnp.int32), jmean_pp, ctx=jctx,
+        variance=jnp.exp(jlogvar_pp), seg_mask=seg_j,
+        valid_id=jnp.asarray(valid), noise=jnp.asarray(eps),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jps["sample"]), tps["sample"].transpose(1, 2).numpy(), atol=3e-4
+    )
+
+
 def test_reference_vb_branch_unrunnable_as_shipped(ref):
     """Pin the reference defect our _vb_terms deliberately deviates from:
     with model_var_type='learned_range' the reference's _vb_terms_bpd
