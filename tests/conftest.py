@@ -31,3 +31,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    # Multi-minute e2e tests are marked slow. They run BY DEFAULT (CI and
+    # the driver's full-suite gate include them); deselect for the fast
+    # iteration loop with:  python -m pytest tests/ -q -m "not slow"
+    config.addinivalue_line(
+        "markers", "slow: multi-minute e2e test (deselect with -m 'not slow')"
+    )

@@ -258,17 +258,20 @@ class TestDataset:
         assert "1-NN-CD-acc" in metrics
         assert save["pred"].shape[0] == 3
 
+    @pytest.mark.slow
     def test_evaluate_gen_part_mode(self, monkeypatch):
         """Whole-path dispatch of eval_mode='gen_part' (metrics/eval.py:
         799-815; reference shapenet_seg.py:375-388): compute_all_metrics +
         snapping + oracle snapping + presence-weighted part metrics + bbox
         chamfer metrics, all finite and sane on synthetic preds+masks."""
-        monkeypatch.setenv("DIFFFACTO_EMD_ITERS", "64")  # sanity, not accuracy
+        monkeypatch.setenv("DIFFFACTO_EMD_ITERS", "16")  # sanity, not accuracy
         rng = np.random.RandomState(5)
         results = []
-        # parts sized so parts 0/1 pass the >100-point per-part threshold and
-        # parts 2/3 are dropped by compute_part_metric (both branches run)
-        part_sizes = [256, 128, 64, 64]
+        # parts sized so part 0 passes the >100-point per-part threshold and
+        # parts 1-3 are dropped by compute_part_metric (both branches run);
+        # part clouds are always padded to 512 points, so every qualifying
+        # part costs 512-pt EMD pairs — keep exactly one on the 1-core CPU
+        part_sizes = [128, 96, 64, 32]
         N = sum(part_sizes)
         mask_row = np.concatenate(
             [np.full(s, i, np.int64) for i, s in enumerate(part_sizes)]

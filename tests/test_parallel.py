@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from difffacto_tpu.parallel import (
     build_optimizer_from_cfg,
@@ -121,6 +122,7 @@ def test_train_step_shard_map_with_kernel(monkeypatch):
     assert np.isfinite(np.asarray(out["pred"])).all()
 
 
+@pytest.mark.slow
 def test_shard_map_step_matches_manual_dp_math():
     """shard_map step == hand-computed data-parallel math (heterogeneous shards).
 

@@ -16,6 +16,7 @@ def tiny_cfg(tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_runner_end_to_end(tiny_cfg):
     from difffacto_tpu.runner import Runner
 
@@ -57,6 +58,7 @@ def test_final_checkpoint_without_interval(tiny_cfg, monkeypatch):
     assert any(c.endswith(".msgpack") for c in ckpts)
 
 
+@pytest.mark.slow
 def test_runner_resume(tiny_cfg):
     from difffacto_tpu.config import Config
     from difffacto_tpu.runner import Runner
@@ -148,6 +150,7 @@ def test_two_stage_transition(tmp_path):
     assert moved_other == 0.0
 
 
+@pytest.mark.slow
 def test_val_gen_protocol(tiny_cfg):
     from difffacto_tpu.runner import Runner
 
