@@ -484,14 +484,19 @@ def _unit_cube_grid(resolution: int, clip_sphere: bool = False):
 
 
 def _occupancy_counts(pclouds: np.ndarray, resolution: int) -> np.ndarray:
-    """Bernoulli activation counts per grid cell (nearest-cell binning —
-    equivalent to the reference's 1-NN to grid centers for a regular grid)."""
-    spacing = 1.0 / (resolution - 1)
-    occ = np.zeros(resolution**3)
+    """Per-cell point counts over the SPHERE-CLIPPED grid, every point counted
+    (evaluation_utils.py:604-616 ``grid_counters`` with ``in_sphere=True``:
+    the JSD distribution is raw point counts — NOT unique-per-cloud bernoulli
+    activations, those feed only the unused entropy return — and points
+    outside the unit sphere bin to the nearest in-sphere cell center)."""
+    from scipy.spatial import cKDTree
+
+    grid, _ = _unit_cube_grid(resolution, clip_sphere=True)
+    tree = cKDTree(grid)
+    occ = np.zeros(len(grid))
     for pc in pclouds:
-        idx = np.clip(np.round((pc + 0.5) / spacing), 0, resolution - 1).astype(np.int64)
-        flat = np.unique(idx[:, 0] * resolution**2 + idx[:, 1] * resolution + idx[:, 2])
-        occ[flat] += 1
+        idx = tree.query(np.asarray(pc))[1]
+        np.add.at(occ, idx, 1)
     return occ
 
 

@@ -497,23 +497,39 @@ class PointwiseNet(nn.Module):
     context_dim: int = 256
     residual: bool = True
     hidden: Sequence[int] = (128, 256, 512, 256, 128)
+    # Reference-config aliases (pointwisenet.py:64): in_channels/out_channels
+    # name the point dims and ``res`` the residual flag. When given they win,
+    # so reference net dicts build unchanged.
+    in_channels: Optional[int] = None
+    out_channels: Optional[int] = None
+    res: Optional[bool] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, t, ctx, anchors=None, variances=None, seg_mask=None,
                  valid_id=None, deterministic: bool = True):
+        """ctx entries may be global (B, F)/(B, 1, F) — broadcast to every
+        point — or per-point (B, N, F), matching the reference's two context
+        layouts (pointwisenet.py:91-94)."""
         if isinstance(ctx, (list, tuple)):
-            ctx = jnp.concatenate([c.reshape(c.shape[0], -1) for c in ctx], axis=-1)
-        ctx = ctx.reshape(ctx.shape[0], -1)
+            ctx = jnp.concatenate(
+                [c if c.ndim == 3 else c[:, None, :] for c in ctx], axis=-1
+            )
+        elif ctx.ndim == 2:
+            ctx = ctx[:, None, :]
         tf = t.astype(jnp.float32)[:, None]
-        time_emb = jnp.concatenate([tf, jnp.sin(tf), jnp.cos(tf)], axis=-1)
-        cond = jnp.concatenate([time_emb, ctx], axis=-1)[:, None, :]
+        time_emb = jnp.concatenate([tf, jnp.sin(tf), jnp.cos(tf)], axis=-1)[:, None, :]
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(time_emb, ctx.shape[:2] + (3,)), ctx], axis=-1
+        )
+        out_dim = self.out_channels if self.out_channels is not None else self.point_dim
+        residual = self.res if self.res is not None else self.residual
         h = x
         for i, f in enumerate(self.hidden):
             h = ConcatSquashDense(f, dtype=self.dtype, name=f"cs_{i}")(h, cond)
             h = jax.nn.leaky_relu(h)
-        h = ConcatSquashDense(self.point_dim, dtype=self.dtype, name="cs_out")(h, cond)
-        return x + h if self.residual else h
+        h = ConcatSquashDense(out_dim, dtype=self.dtype, name="cs_out")(h, cond)
+        return x + h if residual and x.shape[-1] == h.shape[-1] else h
 
 
 @NETS.register_module()

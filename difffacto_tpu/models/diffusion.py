@@ -277,8 +277,15 @@ class AnchoredDiffusion:
                 out = out - anchors
                 pred_xstart = self._process_xstart(self._predict_xstart_from_drifted_eps(x, t, out))
             elif mt == DRIFTED_EPSILON5:
-                out = L * extract(s.sqrt_recipm1_alphas_cumprod, t, nd) * out
-                pred_xstart = self._process_xstart(self._predict_xstart_from_drifted_eps(x, t, out))
+                # Reference QUIRK: the DR5 transform inside the drift branch is
+                # DEAD CODE (anchored_diffusion.py:347-348 sits under an elif
+                # that only admits DR1-DR4, :340), so at sampling time DR5
+                # falls through to the plain-epsilon branch (:364-367).
+                # Reproduce the shipped behavior, not the dead intent; pinned
+                # by tests/test_reference_parity.py::test_mean_type_sweep.
+                pred_xstart = self._process_xstart(
+                    self._predict_xstart_from_eps(x, t, anchors, out, L)
+                )
             elif mt == DRIFTED_EPSILON2:
                 pred_xstart = self._process_xstart(self._predict_xstart_from_drifted_eps(x, t, out))
             elif mt == START_X:

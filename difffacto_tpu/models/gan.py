@@ -22,11 +22,15 @@ from ..utils.registry import DISCRIMINATORS, GENERATORS
 
 @GENERATORS.register_module()
 class Generator(nn.Module):
-    """MLP latent generator (generators/generator.py:18)."""
+    """MLP latent generator (generators/generator.py:18-70): plain ReLU
+    between hidden layers (the reference generator is NOT leaky, :65),
+    optional per-layer BatchNorm and an output BatchNorm."""
 
     noise_dim: int = 64
     out_dim: int = 256
     hidden: Sequence[int] = (256, 512)
+    use_bn: bool = False
+    output_bn: bool = False
     truncate: bool = False
     trunc_std: float = 2.0
     n_class: int = 4
@@ -44,17 +48,26 @@ class Generator(nn.Module):
         h = z
         for f in self.hidden:
             h = nn.Dense(f, dtype=self.dtype)(h)
-            h = nn.leaky_relu(h, 0.2)
-        return nn.Dense(self.out_dim, dtype=self.dtype)(h)
+            if self.use_bn:
+                h = TorchBatchNorm(dtype=self.dtype)(h, use_running_average=not train)
+            h = nn.relu(h)
+        h = nn.Dense(self.out_dim, dtype=self.dtype)(h)
+        if self.output_bn:
+            h = TorchBatchNorm(dtype=self.dtype)(h, use_running_average=not train)
+        return h
 
 
 @DISCRIMINATORS.register_module()
 class Discriminator(nn.Module):
-    """MLP critic over latent codes (discriminators/discriminator.py:7)."""
+    """MLP critic over latent codes (discriminators/discriminator.py:7-60):
+    leaky ReLU 0.2, optional BatchNorm and/or LayerNorm per layer, optional
+    sigmoid output."""
 
     in_dim: int = 256
     hidden: Sequence[int] = (512, 256, 128)
     use_bn: bool = False
+    use_ln: bool = False
+    use_sigmoid: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -64,8 +77,11 @@ class Discriminator(nn.Module):
             h = nn.Dense(f, dtype=self.dtype)(h)
             if self.use_bn:
                 h = TorchBatchNorm(dtype=self.dtype)(h, use_running_average=not train)
+            if self.use_ln:
+                h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
             h = nn.leaky_relu(h, 0.2)
-        return nn.Dense(1, dtype=self.dtype)(h)[:, 0]
+        h = nn.Dense(1, dtype=self.dtype)(h)[:, 0]
+        return jax.nn.sigmoid(h) if self.use_sigmoid else h
 
 
 @DISCRIMINATORS.register_module()

@@ -686,6 +686,210 @@ def test_stage1_encoder_loss_parity(ref):
 
 
 # --------------------------------------------------------------------------
+# Mean-type / variance-type sweeps: every reverse-posterior branch of the
+# reference's p_mean_variance (anchored_diffusion.py:227-395) and every
+# training target (:828-838), exercised via frozen_out / a pinned model
+# output so no extra weight transfer is needed.
+# --------------------------------------------------------------------------
+
+MEAN_TYPES = [
+    "x_0", "prev_x", "epsilon", "drifted_epsilon1", "drifted_epsilon2",
+    "drifted_epsilon3", "drifted_epsilon4", "drifted_epsilon5",
+    "scaled_epsilon", "epsilon_and_anchor",
+]
+
+
+def _diff_pair(ref, **over):
+    from difffacto.utils.registry import DIFFUSIONS as REF_DIFFUSIONS
+    from difffacto.utils.registry import build_from_cfg as ref_build
+
+    from difffacto_tpu.utils.registry import DIFFUSIONS as OUR_DIFFUSIONS
+    from difffacto_tpu.utils.registry import build_from_cfg as our_build
+
+    dcfg = dict(ref["model_cfg"]["diffusion"], **over)
+    torch.manual_seed(11)
+    rd = ref_build(dict(dcfg), REF_DIFFUSIONS, num_timesteps=100).eval()
+    od = our_build(dict(dcfg), OUR_DIFFUSIONS, num_timesteps=100)
+    return rd, od
+
+
+def _pp_inputs(ref):
+    """Per-point anchors/variance + shared x/t on both sides."""
+    import jax.numpy as jnp
+
+    seg, part_code, mean, logvar, valid, x, t, rng = _shared_diffusion_inputs(ref)
+    segt, _, tmean_pp, tlogvar_pp, _ = _ref_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    _, _, jmean_pp, jlogvar_pp, _ = _our_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    return {
+        "rng": rng,
+        "x_cf": torch.from_numpy(x.transpose(0, 2, 1)),
+        "x": jnp.asarray(x),
+        "tt": torch.from_numpy(t),
+        "t": jnp.asarray(t, jnp.int32),
+        "tanch": tmean_pp,
+        "tvar": torch.exp(tlogvar_pp),
+        "janch": jmean_pp,
+        "jvar": jnp.exp(jlogvar_pp),
+    }
+
+
+@pytest.mark.parametrize("mean_type", MEAN_TYPES)
+def test_mean_type_sweep(ref, mean_type):
+    """p_mean_variance branch parity for all 10 mean parameterizations —
+    including the drifted_epsilon5 fallthrough QUIRK: its transform at
+    anchored_diffusion.py:347-348 is dead code (the enclosing elif at :340
+    only admits DR1-DR4), so DR5 samples exactly like plain epsilon."""
+    rd, od = _diff_pair(ref, model_mean_type=mean_type)
+    s = _pp_inputs(ref)
+    C = 6 if mean_type == "epsilon_and_anchor" else 3
+    frozen = s["rng"].randn(B, N, C).astype(np.float32)
+    import jax.numpy as jnp
+
+    if mean_type == "prev_x":
+        # Reference QUIRK: the PREVIOUS_X branch never assigns xt_dir
+        # (anchored_diffusion.py:322-326 vs :368-377), so prev_x sampling
+        # CRASHES as shipped. Pin the crash; our branch returns xt_dir=None
+        # and stays runnable (a fix, with no reference golden possible).
+        with pytest.raises(UnboundLocalError):
+            with torch.no_grad():
+                rd.p_mean_variance(
+                    s["x_cf"], s["tt"], s["tanch"], variance=s["tvar"],
+                    frozen_out=torch.from_numpy(frozen.transpose(0, 2, 1)),
+                )
+        jout = od.p_mean_variance(
+            None, s["x"], s["t"], s["janch"], variance=s["jvar"],
+            frozen_out=jnp.asarray(frozen),
+        )
+        assert all(
+            np.isfinite(np.asarray(jout[k])).all()
+            for k in ("mean", "variance", "log_variance", "pred_xstart")
+        )
+        return
+    with torch.no_grad():
+        tout = rd.p_mean_variance(
+            s["x_cf"], s["tt"], s["tanch"], variance=s["tvar"],
+            frozen_out=torch.from_numpy(frozen.transpose(0, 2, 1)),
+        )
+
+    jout = od.p_mean_variance(
+        None, s["x"], s["t"], s["janch"], variance=s["jvar"],
+        frozen_out=jnp.asarray(frozen),
+    )
+    for key in ("mean", "variance", "log_variance", "pred_xstart"):
+        np.testing.assert_allclose(
+            np.asarray(jout[key]), tout[key].transpose(1, 2).numpy(),
+            atol=1e-5, err_msg=f"{mean_type}:{key}",
+        )
+    if mean_type == "drifted_epsilon5":
+        ep, _ = _diff_pair(ref, model_mean_type="epsilon")
+        with torch.no_grad():
+            eout = ep.p_mean_variance(
+                s["x_cf"], s["tt"], s["tanch"], variance=s["tvar"],
+                frozen_out=torch.from_numpy(frozen.transpose(0, 2, 1)),
+            )
+        np.testing.assert_allclose(  # the quirk itself, pinned on the ref side
+            tout["pred_xstart"].numpy(), eout["pred_xstart"].numpy(), atol=0
+        )
+
+
+@pytest.mark.parametrize("var_type,ch", [
+    ("fixed_large", 3), ("learned", 6), ("learned_range", 6),
+])
+def test_var_type_sweep(ref, var_type, ch):
+    """Variance-mode parity: fixed_large's append(post_var[1], betas[1:])
+    table and the learned/learned_range output-split scaling
+    (anchored_diffusion.py:270-314)."""
+    rd, od = _diff_pair(ref, model_var_type=var_type)
+    s = _pp_inputs(ref)
+    frozen = (s["rng"].randn(B, N, ch) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        tout = rd.p_mean_variance(
+            s["x_cf"], s["tt"], s["tanch"], variance=s["tvar"],
+            frozen_out=torch.from_numpy(frozen.transpose(0, 2, 1)),
+        )
+    import jax.numpy as jnp
+
+    jout = od.p_mean_variance(
+        None, s["x"], s["t"], s["janch"], variance=s["jvar"],
+        frozen_out=jnp.asarray(frozen),
+    )
+    for key in ("mean", "variance", "log_variance", "pred_xstart", "sqrt_log_variance"):
+        np.testing.assert_allclose(
+            np.asarray(jout[key]), tout[key].transpose(1, 2).numpy(),
+            atol=1e-5, err_msg=f"{var_type}:{key}",
+        )
+
+
+@pytest.mark.parametrize(
+    "mean_type", [m for m in MEAN_TYPES if m != "prev_x"]
+)  # prev_x has no training target in the reference dict (:828-838) -> KeyError
+def test_training_target_sweep(ref, mean_type):
+    """training_losses target formula parity for all 9 trainable mean types
+    (anchored_diffusion.py:828-847), model output pinned on both sides."""
+    import jax.numpy as jnp
+
+    rd, od = _diff_pair(ref, model_mean_type=mean_type)
+    s = _pp_inputs(ref)
+    C = 6 if mean_type == "epsilon_and_anchor" else 3
+    fixed = (s["rng"].randn(B, N, C) * 0.1).astype(np.float32)
+    noise = s["rng"].randn(B, N, 3).astype(np.float32)
+    fixed_cf = torch.from_numpy(fixed.transpose(0, 2, 1))
+    rd.__dict__["model"] = lambda *a, **k: fixed_cf  # bypass the net
+    with torch.no_grad():
+        ttl = rd.training_losses(
+            s["x_cf"], s["tt"], anchors=s["tanch"],
+            variance=s["tvar"], noise=torch.from_numpy(noise.transpose(0, 2, 1)),
+        )
+    jtl = od.training_losses(
+        lambda *a, **k: jnp.asarray(fixed), None, s["x"], s["t"],
+        anchors=s["janch"], variance=s["jvar"], noise=jnp.asarray(noise),
+    )
+    np.testing.assert_allclose(
+        float(jtl["mse_loss"]), float(ttl["mse_loss"]), rtol=1e-5,
+        err_msg=mean_type,
+    )
+
+
+def test_guidance_parity(ref):
+    """Classifier-free guidance mixing (anchored_diffusion.py:263-268) with
+    the real gen_chair denoiser at classifier_weight=2."""
+    from difffacto_tpu.models.anchor_diff import _model_fn
+
+    rd, od = _diff_pair(ref, guidance=True, classifier_weight=2.0)
+    rd.model.load_state_dict(ref["ref_model"].diffusion.model.state_dict())
+    seg, part_code, mean, logvar, valid, x, t, rng = _shared_diffusion_inputs(ref)
+    segt, tctx, tmean_pp, tlogvar_pp, _ = _ref_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    seg_j, jctx, jmean_pp, jlogvar_pp, _ = _our_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    import jax.numpy as jnp
+
+    with torch.no_grad():
+        tout = rd.p_mean_variance(
+            torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(t),
+            tmean_pp, ctx=tctx, variance=torch.exp(tlogvar_pp),
+            anchor_assignment=segt, valid_id=torch.from_numpy(valid),
+        )
+    jout = od.p_mean_variance(
+        _model_fn(ref["model"], _V(ref)), jnp.asarray(x),
+        jnp.asarray(t, jnp.int32), jmean_pp, ctx=jctx,
+        variance=jnp.exp(jlogvar_pp), seg_mask=seg_j,
+        valid_id=jnp.asarray(valid),
+    )
+    for key in ("mean", "pred_xstart"):
+        np.testing.assert_allclose(
+            np.asarray(jout[key]), tout[key].transpose(1, 2).numpy(),
+            atol=6e-4, err_msg=key,
+        )
+
+
+# --------------------------------------------------------------------------
 # Metric-suite cross-checks against the reference's pure-torch implementations
 # --------------------------------------------------------------------------
 
