@@ -1,30 +1,110 @@
 """Decomposers: part-token mixers producing global features + anchors.
 
 Re-implements the reference's legacy decomposer path (reference:
-python/difffacto/models/decomposers/mixer.py:88-399, transformer.py:162-263):
-part latents are mixed by self-attention, an MLP regresses per-part anchor
-coordinates, and an aggregator produces a global feature. Kept channel-last
-and trimmed to the option subset actually exercised (mlp_type 0/1,
-global_mlp_type 0/1, residual attention).
+python/difffacto/models/decomposers/mixer.py:88-399, transformer.py:26-304,
+common.py:28-109): part latents are mixed by graph- or multi-head
+self-attention, an MLP regresses per-part anchor coordinates, and an
+aggregator produces a global feature. Channel-last throughout.
+
+Faithful pieces (golden-tested in tests/test_reference_parity_modules.py):
+``GAT``/``GraphAttentionLayer``/``MultiHeadSelfAttention`` (common.py),
+``ComponentMixer`` mlp_type 0/1 + attention + aggregator type 0, and
+``PartCodeTransformer``'s ViT residual blocks (fused qkv, GELU MLP,
+double-sqrt score scaling, masked-code aggregation).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+import math
+from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from ..nn.attention import BasicTransformerBlock, CrossAttention
-from ..nn.layers import FeedForward, MLP
+from ..nn.layers import MLP, FeedForward, TorchBatchNorm
 from ..utils.registry import DECOMPOSERS
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Projection-only multi-head self attention — no output projection, no
+    residual (common.py:28-49)."""
+
+    in_channel: int
+    out_channel: int
+    qk_dim: int = 512
+    nheads: int = 8
+    qkv_bias: bool = True
+    scale: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, _ = x.shape
+        h = self.nheads
+        ndim = self.qk_dim // h
+        vdim = self.out_channel // h
+        Q = nn.Dense(self.qk_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="Wq")(x)
+        Kk = nn.Dense(self.qk_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="Wk")(x)
+        V = nn.Dense(self.out_channel, use_bias=self.qkv_bias, dtype=self.dtype, name="Wv")(x)
+        Q = Q.reshape(B, N, h, ndim)
+        Kk = Kk.reshape(B, N, h, ndim)
+        V = V.reshape(B, N, h, vdim)
+        scale = 1.0 / math.sqrt(ndim) if self.scale else 1.0
+        qk = jnp.einsum("bnhd,bmhd->bhnm", Q, Kk) * scale
+        qk = jax.nn.softmax(qk, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", qk, V).reshape(B, N, self.out_channel)
+
+
+class GraphAttentionLayer(nn.Module):
+    """Dense GAT layer (common.py:72-109): additive attention from a learned
+    2*out vector, leaky-relu scores, elu output."""
+
+    in_features: int
+    out_features: int
+    alpha: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):
+        W = self.param(
+            "W", nn.initializers.xavier_uniform(), (self.in_features, self.out_features)
+        )
+        a = self.param("a", nn.initializers.xavier_uniform(), (2 * self.out_features, 1))
+        Wh = jnp.einsum("bni,ij->bnj", x, W)
+        Wh1 = jnp.einsum("bni,ij->bnj", Wh, a[: self.out_features])  # (B, N, 1)
+        Wh2 = jnp.einsum("bni,ij->bnj", Wh, a[self.out_features :])
+        e = jax.nn.leaky_relu(Wh1 + Wh2.transpose(0, 2, 1), self.alpha)  # (B, N, N)
+        attn = jax.nn.softmax(e, axis=2)
+        return jax.nn.elu(jnp.einsum("bij,bjn->bin", attn, Wh))
+
+
+class GAT(nn.Module):
+    """Multi-head dense GAT: heads concatenated (common.py:52-69)."""
+
+    in_channel: int
+    out_channel: int
+    nheads: int = 8
+    alpha: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):
+        nhid = self.out_channel // self.nheads
+        outs = [
+            GraphAttentionLayer(self.in_channel, nhid, self.alpha, name=f"attention_{i}")(x)
+            for i in range(self.nheads)
+        ]
+        return jnp.concatenate(outs, axis=2)
 
 
 @DECOMPOSERS.register_module()
 class ComponentMixer(nn.Module):
     """(B, K, C) part latents -> (global_feature, anchors (B, K, 3), mixed latents).
 
-    Mirrors mixer.py:88-299 behavior for the shipped option subset.
+    Mirrors mixer.py:88-295 with the norm=None default (the shipped path):
+    mlp_type 0 = flat Linear(K*C->1024->1024->3K); mlp_type 1 = per-token
+    conv C->256->C, max-pool, then Linear C->128->3K; attention = GAT or
+    MultiHeadSelfAttention + GEGLU FeedForward with pre-LayerNorms;
+    aggregator type 0 = flat Linear(K*C->1024->1024->C).
     """
 
     num_anchors: int
@@ -32,54 +112,75 @@ class ComponentMixer(nn.Module):
     point_dim: int = 3
     include_attention: bool = False
     nheads: int = 8
+    use_graph_attention: bool = True
     include_global_feature: bool = False
     global_mlp_type: int = 0
     normalize_latent: bool = False
     mlp_type: int = 0
     res: bool = True
+    attn_ln: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, part_latent, train: bool = False):
         B, K, C = part_latent.shape
+        KP = self.num_anchors * self.point_dim
         if self.mlp_type == 0:
-            coarse = MLP(
-                [512, 256, self.num_anchors * self.point_dim], dtype=self.dtype, name="mlp"
-            )(part_latent.reshape(B, -1)).reshape(B, self.num_anchors, self.point_dim)
+            coarse = MLP([1024, 1024, KP], dtype=self.dtype, name="mlp")(
+                part_latent.reshape(B, -1)
+            ).reshape(B, self.num_anchors, self.point_dim)
         else:
-            feat = MLP([256, 512], dtype=self.dtype, name="mlp")(part_latent)
-            pooled = jnp.max(feat, axis=1)
-            coarse = MLP(
-                [256, self.num_anchors * self.point_dim], dtype=self.dtype, name="anchor_regressor"
-            )(pooled).reshape(B, self.num_anchors, self.point_dim)
+            # Sequential(norm=Id, ReLU, Conv C->256, norm=Id, ReLU, Conv 256->C)
+            h = nn.relu(part_latent)
+            h = nn.Dense(256, dtype=self.dtype, name="mlp_c1")(h)
+            h = nn.relu(h)
+            h = nn.Dense(C, dtype=self.dtype, name="mlp_c2")(h)
+            feat = jnp.max(h, axis=1)
+            r = nn.relu(feat)
+            r = nn.Dense(128, dtype=self.dtype, name="reg_c1")(r)
+            r = nn.relu(r)
+            coarse = nn.Dense(KP, dtype=self.dtype, name="reg_c2")(r).reshape(
+                B, self.num_anchors, self.point_dim
+            )
 
         h = part_latent
         if self.include_attention:
-            a = CrossAttention(
-                query_dim=C, heads=self.nheads, dim_head=C // self.nheads,
-                dtype=self.dtype, name="attention",
-            )(nn.LayerNorm(name="norm1")(h))
+            attn = (
+                GAT(C, C, self.nheads, name="attention")
+                if self.use_graph_attention
+                else MultiHeadSelfAttention(C, C, nheads=self.nheads, name="attention")
+            )
+            hn = nn.LayerNorm(epsilon=1e-5, name="norm1")(h) if self.attn_ln else h
+            a = attn(hn)
             h = a + h if self.res else a
-            f = FeedForward(C, dtype=self.dtype, name="ff")(nn.LayerNorm(name="norm2")(h))
+            hn = nn.LayerNorm(epsilon=1e-5, name="norm2")(h) if self.attn_ln else h
+            f = FeedForward(C, glu=True, dtype=self.dtype, name="ff")(hn)
             h = f + h if self.res else f
 
         global_feature = None
         if self.include_global_feature:
             if self.global_mlp_type == 0:
-                global_feature = MLP([512, C], dtype=self.dtype, name="aggregator")(
+                global_feature = MLP([1024, 1024, C], dtype=self.dtype, name="aggregator")(
                     h.reshape(B, -1)
                 )
             else:
-                g = MLP([256, 512], dtype=self.dtype, name="aggregator")(h)
-                global_feature = MLP([C], dtype=self.dtype, name="aggregator_mlp")(
-                    jnp.max(g, axis=1)
+                # mixer.py:228-246 — note the reference's aggregator_mlp
+                # declares BatchNorm1d(part_latent_dim) on a 256-wide tensor
+                # and only typechecks when C == 256.
+                g = nn.relu(
+                    TorchBatchNorm(dtype=self.dtype)(
+                        nn.Dense(256, dtype=self.dtype, name="agg_c1")(h),
+                        use_running_average=not train,
+                    )
                 )
+                g = jnp.max(nn.Dense(C, dtype=self.dtype, name="agg_c2")(g), axis=1)
+                global_feature = MLP([256, 256, C], dtype=self.dtype, name="aggregator_mlp")(g)
         if self.normalize_latent:
             if global_feature is not None:
-                global_feature = global_feature / jnp.linalg.norm(
-                    global_feature, axis=-1, keepdims=True
+                global_feature = global_feature / jnp.maximum(
+                    jnp.linalg.norm(global_feature, axis=-1, keepdims=True), 1e-12
                 )
-            h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+            h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
         return global_feature, coarse, h
 
 
@@ -90,10 +191,74 @@ class ComponentMixerV2(ComponentMixer):
     include_attention: bool = True
 
 
+class _VitMLP(nn.Module):
+    """width -> 4*width GELU -> width (transformer.py:54-65)."""
+
+    width: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(x)
+        # exact (erf) gelu: the reference uses nn.GELU() here, and unlike the
+        # GEGLU kernel paths there is no fused-kernel twin to stay in sync with
+        return nn.Dense(self.width, dtype=self.dtype, name="c_proj")(
+            jax.nn.gelu(h, approximate=False)
+        )
+
+
+class _VitAttention(nn.Module):
+    """Fused-qkv multihead attention with the double-sqrt score scaling and
+    f32 softmax (transformer.py:26-91). Per-head layout: [q | k | v]."""
+
+    width: int
+    heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B, N, _ = x.shape
+        ch = self.width // self.heads
+        qkv = nn.Dense(self.width * 3, dtype=self.dtype, name="c_qkv")(x)
+        qkv = qkv.reshape(B, N, self.heads, 3 * ch)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / math.sqrt(math.sqrt(ch))
+        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+        if mask is not None:
+            neg = jnp.finfo(w.dtype).min
+            w = jnp.where(mask[:, None, None, :].astype(bool), w, neg)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+        out = jnp.einsum("bhts,bshc->bthc", w, v).reshape(B, N, -1)
+        return nn.Dense(self.width, dtype=self.dtype, name="c_proj")(out)
+
+
+class _ResidualAttentionBlock(nn.Module):
+    """x + attn(ln_1(x)); x + mlp(ln_2(x)) (transformer.py:94-122)."""
+
+    width: int
+    heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = x + _VitAttention(self.width, self.heads, dtype=self.dtype, name="attn")(
+            nn.LayerNorm(epsilon=1e-5, name="ln_1")(x), mask
+        )
+        x = x + _VitMLP(self.width, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        )
+        return x
+
+
 @DECOMPOSERS.register_module()
 class PartCodeTransformer(nn.Module):
-    """Deep transformer over part tokens -> (global z, per-part codes)
-    (decomposers/transformer.py:162-263)."""
+    """Deep ViT over part tokens -> (global z, per-part codes)
+    (transformer.py:162-259): input = [x | params | class embedding] ->
+    input_proj -> ln_pre -> residual blocks -> ln_post -> zero-init
+    output_proj; codes are masked by part presence; the global feature
+    aggregates the masked codes through the ViT MLP (only shape-consistent
+    when output_channels == width, exactly like the reference's assert —
+    otherwise we fall back to aggregating the pooled hidden state)."""
 
     input_channels: int = 3
     output_channels: int = 3
@@ -114,21 +279,20 @@ class PartCodeTransformer(nn.Module):
         if self.param_cond and params:
             x = jnp.concatenate([x, *params], axis=-1)
         if self.class_cond:
-            class_emb = self.param(
-                "class_embedding", nn.initializers.normal(1.0), (self.n_ctx, self.n_ctx)
+            class_emb = nn.Embed(self.n_ctx, self.n_ctx, name="class_embedding")(
+                jnp.arange(self.n_ctx)
             )
             x = jnp.concatenate(
                 [x, jnp.broadcast_to(class_emb[None], (B, K, self.n_ctx))], axis=-1
             )
         h = nn.Dense(self.width, dtype=self.dtype, name="input_proj")(x)
-        h = nn.LayerNorm(name="ln_pre")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(h)
         attn_mask = mask if self.use_mask_in_transformer else None
         for i in range(self.layers):
-            h = BasicTransformerBlock(
-                dim=self.width, n_heads=self.heads, d_head=self.width // self.heads,
-                single_attn=True, dtype=self.dtype, name=f"block_{i}",
-            )(h, None, attn_mask, None, not train)
-        h = nn.LayerNorm(name="ln_post")(h)
+            h = _ResidualAttentionBlock(
+                self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
+            )(h, attn_mask)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_post")(h)
         codes = nn.Dense(
             self.output_channels,
             kernel_init=nn.initializers.zeros,
@@ -137,11 +301,16 @@ class PartCodeTransformer(nn.Module):
             name="output_proj",
         )(h)
         if mask is not None:
-            h = h * mask[..., None]
-            pooled = jnp.max(h + (1 - mask[..., None]) * -1e5, axis=1)
+            codes = codes * mask[..., None]  # zero absent-part codes (:224)
+        agg = _VitMLP(self.width, dtype=self.dtype, name="aggregate")
+        if self.output_channels == self.width:
+            # reference get_global_from_part (:228-232): masked-code max-pool
+            src = codes if mask is None else codes + (1 - mask[..., None]) * -1e5
+            z = agg(jnp.max(src, axis=1))
         else:
-            pooled = jnp.max(h, axis=1)
-        z = MLP([self.width, self.width], dtype=self.dtype, name="aggregate")(pooled)
+            # shape-flexible fallback (the reference asserts out == width)
+            src = h if mask is None else h * mask[..., None] + (1 - mask[..., None]) * -1e5
+            z = agg(jnp.max(src, axis=1))
         return z, codes
 
 
@@ -149,7 +318,7 @@ class PartCodeTransformer(nn.Module):
 class PartCodeTransformerV2(PartCodeTransformer):
     """V2 splits ``output_channels`` evenly across the ``n_ctx`` part tokens
     and flattens the per-token codes back to one vector
-    (decomposers/transformer.py:263-299); optional post-MLP on the pooled z."""
+    (transformer.py:263-304); optional post-MLP on the flattened z."""
 
     post_mlp: bool = False
 
@@ -172,7 +341,8 @@ class PartCodeTransformerV2(PartCodeTransformer):
             dtype=self.dtype,
             name="inner",
         )
-        z, codes = inner(x, params, mask, train)
+        _, codes = inner(x, params, mask, train)
+        z = codes.reshape(B, self.output_channels)
         if self.post_mlp:
-            z = MLP([self.width, self.width], dtype=self.dtype, name="post")(z)
+            z = _VitMLP(self.output_channels, dtype=self.dtype, name="post_mlp")(z)
         return z, codes.reshape(B, self.output_channels)

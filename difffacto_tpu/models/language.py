@@ -140,7 +140,7 @@ class MultiHeadCrossAttention(nn.Module):
             nn.relu(nn.Dense(self.out_channel * 2, name="linear1")(msg))
         )
         msg = msg + nn.Dropout(0.1)(m2, deterministic=deterministic)
-        return nn.LayerNorm(name="norm")(msg)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(msg)  # torch LN eps parity
 
 
 @ENCODERS.register_module()

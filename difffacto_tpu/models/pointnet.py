@@ -35,7 +35,7 @@ class _HeadMLP(nn.Module):
         for f in (256, 128):
             x = nn.Dense(f, dtype=self.dtype)(x)
             if self.use_ln:
-                x = nn.LayerNorm(dtype=self.dtype)(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
             else:
                 x = TorchBatchNorm(dtype=self.dtype)(x, use_running_average=not train)
             x = nn.relu(x)
@@ -173,7 +173,15 @@ class PointNetV2Variant(nn.Module):
         h = ConvBNReLUStack(
             (128, 128, 256, 512), relu_last=False, dtype=self.dtype, name="pnet"
         )(points, train=train)
-        weighted = h[:, :, None, :] * seg_flag[..., None] - (1 - seg_flag[..., None]) * 1e9
+        # INTENT of pointnet.py:259-261: max over each part's own points,
+        # absent parts pooled to 0. The reference's own expression is
+        # degenerate as shipped — ``h * flag - (1 - flag) * inf`` makes every
+        # in-part entry ``h - 0 * inf = nan`` which nan_to_num zeroes, so its
+        # pooled features are identically 0 (pinned in
+        # tests/test_reference_parity_modules.py).
+        weighted = jnp.where(
+            seg_flag[..., None] > 0, h[:, :, None, :], -jnp.inf
+        )
         pooled = jnp.nan_to_num(
             allmax_points(jnp.max(weighted, axis=1)), nan=0.0, posinf=0.0, neginf=0.0
         )

@@ -15,9 +15,15 @@ ingested weights + injected inputs:
   (point_diffusion.py:17-517) through the shared PointwiseNet weights;
 * Generator / Discriminator latent-GAN MLPs (generators/generator.py:18-70,
   discriminators/discriminator.py:7-60) incl. eval-mode BatchNorm;
-* pinned reference DEFECTS we deliberately deviate from: the LDMNet
-  class-cond x-replacement bug (attention.py:522) and the segmentor's
-  unbuildable PointNet config (pointnet_segmentor.py:11).
+* the PointNet encoder family (pointnet.py:61-425): VAE/PointNet whole-cloud
+  encoders, V2 shared heads (BN + LN flavors), V2Variant, V2VAE, V3;
+* decomposers: ComponentMixer with GAT / MultiHeadSelfAttention mixing and
+  both anchor-MLP types (mixer.py:88-295, common.py:28-109), and the
+  PartCodeTransformer ViT (transformer.py:26-259);
+* language stack: LSTM + bilinear word attention, MultiHeadCrossAttention,
+  LatentLanguageFuser, PartLanguageSelector (language_encoders.py);
+* pinned reference DEFECTS we deliberately deviate from — see PARITY.md
+  "Reference defects EXECUTED and pinned".
 """
 
 import copy
@@ -32,9 +38,12 @@ from test_reference_parity import REF_ROOT, _install_reference
 
 from difffacto_tpu.utils.torch_ingest import (
     TreeFiller,
+    _conv1d_to_dense,
     _map_feedforward_glu,
+    _map_head_mlp,
     _map_layernorm,
     _map_linear,
+    _map_pointnet_stack,
     _map_transformer_like,
     _t,
 )
@@ -579,6 +588,602 @@ def test_discriminator_parity():
         tout = rd(torch.from_numpy(z))
     jout = od.apply(V, jnp.asarray(z))
     np.testing.assert_allclose(np.asarray(jout), tout.numpy()[:, 0], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# PointNet encoder family
+# ---------------------------------------------------------------------------
+
+_BN_FIELDS = (
+    ("weight", "scale", "params"), ("bias", "bias", "params"),
+    ("running_mean", "mean", "batch_stats"), ("running_var", "var", "batch_stats"),
+)
+
+
+def _randomize_bn(mod, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in mod.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.05, generator=g)
+                m.running_var.uniform_(0.8, 1.2, generator=g)
+
+
+def _map_fc_head(sd, fill, suffix, jprefix, linear):
+    """fc1_x/fc2_x/fc3_x + fc_bn1_x/fc_bn2_x heads (pointnet.py:77-87,
+    397-403); ``linear`` False for the Conv1d flavor."""
+    tr = _t if linear else _conv1d_to_dense
+    for i, fc in enumerate(("fc1", "fc2", "fc3")):
+        fill.put("params", f"{jprefix}/Dense_{i}/kernel", tr(sd.pop(f"{fc}_{suffix}.weight")))
+        fill.put("params", f"{jprefix}/Dense_{i}/bias", np.asarray(sd.pop(f"{fc}_{suffix}.bias")))
+    for i in (1, 2):
+        for tname, jname, col in _BN_FIELDS:
+            fill.put(
+                col, f"{jprefix}/TorchBatchNorm_{i - 1}/BatchNorm_0/{jname}",
+                np.asarray(sd.pop(f"fc_bn{i}_{suffix}.{tname}")),
+            )
+        sd.pop(f"fc_bn{i}_{suffix}.num_batches_tracked", None)
+
+
+def _map_head_ln(sd, fill, tprefix, jprefix):
+    """use_ln head: Sequential Linear/LayerNorm (pointnet.py:142-155)."""
+    for i, ci in enumerate((0, 3, 6)):
+        _map_linear(sd, fill, f"{tprefix}.{ci}", f"{jprefix}/Dense_{i}")
+    for i, ci in enumerate((1, 4)):
+        _map_layernorm(sd, fill, f"{tprefix}.{ci}", f"{jprefix}/LayerNorm_{i}")
+
+
+def _pointnet_pair(ref_cls, our_cls, seed, ref_kw=None, our_kw=None):
+    _install_reference()
+    torch.manual_seed(seed)
+    rm = ref_cls(**(ref_kw or {})).eval()
+    _randomize_bn(rm, seed)
+    om = our_cls(**(our_kw or {}))
+    return rm, om
+
+
+def test_pointnet_vae_and_pointnet_parity():
+    """PointNetVAE whole-cloud encoder + deterministic PointNet subclass
+    (pointnet.py:61-119), eval-mode BN with non-trivial running stats."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.encoders.pointnet import PointNet as RefPN
+    from difffacto.models.encoders.pointnet import PointNetVAE as RefVAE
+
+    from difffacto_tpu.models.pointnet import PointNet as OurPN
+    from difffacto_tpu.models.pointnet import PointNetVAE as OurVAE
+
+    rng = np.random.RandomState(61)
+    x = rng.randn(B, 32, 7).astype(np.float32)
+
+    def mapper(sd, fill):
+        _map_pointnet_stack(sd, fill, "", "pnet")
+        _map_fc_head(sd, fill, "m", "mlp_m", linear=True)
+        _map_fc_head(sd, fill, "v", "mlp_v", linear=True)
+
+    for RefC, OurC, det in ((RefVAE, OurVAE, False), (RefPN, OurPN, True)):
+        torch.manual_seed(61)
+        rm = RefC(point_dim=7, zdim=6, num_anchors=K).eval()
+        _randomize_bn(rm, 61)
+        om = OurC(point_dim=7, zdim=6, num_anchors=K)
+        variables = jax.jit(lambda om=om: om.init(jax.random.PRNGKey(0), jnp.asarray(x)))()
+        if det:
+            # PointNet inherits both heads but returns m only; our PointNet
+            # owns only the m head — drop the v weights before mapping.
+            V_ = _params_from(
+                variables,
+                lambda sd, fill: (
+                    [sd.pop(k) for k in list(sd) if "_v." in k],
+                    _map_pointnet_stack(sd, fill, "", "pnet"),
+                    _map_fc_head(sd, fill, "m", "mlp_m", linear=True),
+                )[-1],
+                _sd(rm),
+            )
+        else:
+            V_ = _params_from(variables, mapper, _sd(rm))
+        with torch.no_grad():
+            tout = rm(torch.from_numpy(x))
+        jout = om.apply(V_, jnp.asarray(x))
+        if det:
+            np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=1e-4)
+        else:
+            np.testing.assert_allclose(np.asarray(jout[0]), tout[0].numpy(), atol=1e-4)
+            np.testing.assert_allclose(np.asarray(jout[1]), tout[1].numpy(), atol=1e-4)
+
+
+@pytest.mark.parametrize("use_ln", [False, True])
+def test_pointnet_v2_shared_head_parity(use_ln):
+    """PointNetV2 with the SHARED head (per_part_mlp=False) in both BN and LN
+    flavors (pointnet.py:141-170) — the flagship fixture only covers the
+    grouped per-part head."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.encoders.pointnet import PointNetV2 as RefV2
+
+    from difffacto_tpu.models.pointnet import PointNetV2 as OurV2
+
+    torch.manual_seed(62 + use_ln)
+    rm = RefV2(point_dim=3, zdim=6, num_anchors=K, use_ln=use_ln).eval()
+    _randomize_bn(rm, 62)
+    om = OurV2(point_dim=3, zdim=6, num_anchors=K, use_ln=use_ln)
+    rng = np.random.RandomState(62)
+    x = rng.randn(B, 32, 3).astype(np.float32)
+    seg = rng.randint(0, K, (B, 32))
+    aw = np.eye(K, dtype=np.float32)[seg]
+
+    variables = jax.jit(
+        lambda: om.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(aw))
+    )()
+
+    def mapper(sd, fill):
+        _map_pointnet_stack(sd, fill, "", "pnet")
+        for s in ("m", "v"):
+            if use_ln:
+                _map_head_ln(sd, fill, f"mlp_{s}", f"mlp_{s}")
+            else:
+                _map_head_mlp(sd, fill, f"mlp_{s}", f"mlp_{s}", False, K)
+
+    V_ = _params_from(variables, mapper, _sd(rm))
+    with torch.no_grad():
+        tm, tv = rm(torch.from_numpy(x), torch.from_numpy(aw))
+    jm, jv = om.apply(V_, jnp.asarray(x), jnp.asarray(aw))
+    np.testing.assert_allclose(np.asarray(jm), tm.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), atol=1e-4)
+
+
+def test_pointnet_v2_variant_reference_defects_pinned():
+    """Pin TWO reference defects in PointNetV2Variant, which our re-design
+    (models/pointnet.py:156-200) implements by intent with no golden possible:
+
+    1. The masked pooling ``h * flag - (1 - flag) * inf`` (pointnet.py:259)
+       makes every IN-part entry ``h - 0*inf = nan``, which ``nan_to_num``
+       zeroes — the pooled features are identically 0, so the encoder output
+       is INDEPENDENT of the input points.
+    2. The per-part head path feeds the 2-D (B, 512) slice ``x[..., i]`` to a
+       Conv1d (pointnet.py:264-271), which torch reads as an unbatched
+       (C=B, L) tensor and rejects — per_part_mlp=True crashes outright."""
+    _install_reference()
+    from difffacto.models.encoders.pointnet import PointNetV2Variant as RefVar
+
+    torch.manual_seed(63)
+    rng = np.random.RandomState(63)
+    seg = rng.randint(0, K, (B, 32))
+    flags = np.eye(K, dtype=np.float32)[seg]
+    x1 = np.concatenate([rng.randn(B, 32, 3).astype(np.float32), flags], axis=-1)
+    x2 = np.concatenate([rng.randn(B, 32, 3).astype(np.float32), flags], axis=-1)
+
+    rm = RefVar(point_dim=3 + K, zdim=6, num_anchors=K, per_part_mlp=False).eval()
+    with torch.no_grad():
+        m1, _ = rm(torch.from_numpy(x1), torch.from_numpy(flags))
+        m2, _ = rm(torch.from_numpy(x2), torch.from_numpy(flags))
+    np.testing.assert_allclose(m1.numpy(), m2.numpy(), atol=0)  # input-independent
+
+    rp = RefVar(point_dim=3 + K, zdim=6, num_anchors=K, per_part_mlp=True).eval()
+    with pytest.raises(RuntimeError, match="channels"):
+        with torch.no_grad():
+            rp(torch.from_numpy(x1), torch.from_numpy(flags))
+
+
+def test_pointnet_v2_vae_parity():
+    """PointNetV2VAE with flags packed in the input (pointnet.py:280-376)."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.encoders.pointnet import PointNetV2VAE as RefVAE2
+
+    from difffacto_tpu.models.pointnet import PointNetV2VAE as OurVAE2
+
+    torch.manual_seed(64)
+    rm = RefVAE2(point_dim=3, zdim=6, num_anchors=K).eval()
+    _randomize_bn(rm, 64)
+    om = OurVAE2(point_dim=3, zdim=6, num_anchors=K)
+    rng = np.random.RandomState(64)
+    seg = rng.randint(0, K, (B, 32))
+    flags = np.eye(K, dtype=np.float32)[seg]
+    x = np.concatenate([rng.randn(B, 32, 3).astype(np.float32), flags], axis=-1)
+
+    variables = jax.jit(lambda: om.init(jax.random.PRNGKey(0), jnp.asarray(x)))()
+
+    def mapper(sd, fill):
+        _map_pointnet_stack(sd, fill, "", "pnet")
+        _map_head_mlp(sd, fill, "mlp_m", "mlp_m", False, K)
+        _map_head_mlp(sd, fill, "mlp_v", "mlp_v", False, K)
+
+    V_ = _params_from(variables, mapper, _sd(rm))
+    with torch.no_grad():
+        tm, tv = rm(torch.from_numpy(x))
+    jm, jv = om.apply(V_, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(jm), tm.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), atol=1e-4)
+
+
+def test_pointnet_v3_parity():
+    """PointNetV3: global++masked pooled concat -> conv head
+    (pointnet.py:379-425)."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.encoders.pointnet import PointNetV3 as RefV3
+
+    from difffacto_tpu.models.pointnet import PointNetV3 as OurV3
+
+    torch.manual_seed(65)
+    rm = RefV3(point_dim=3, zdim=6, num_anchors=K).eval()
+    _randomize_bn(rm, 65)
+    om = OurV3(point_dim=3, zdim=6, num_anchors=K)
+    rng = np.random.RandomState(65)
+    seg = rng.randint(0, K, (B, 32))
+    x = np.concatenate(
+        [rng.randn(B, 32, 3).astype(np.float32), np.eye(K, dtype=np.float32)[seg]],
+        axis=-1,
+    )
+
+    variables = jax.jit(lambda: om.init(jax.random.PRNGKey(0), jnp.asarray(x)))()
+
+    def mapper(sd, fill):
+        _map_pointnet_stack(sd, fill, "", "pnet")
+        _map_fc_head(sd, fill, "m", "mlp_m", linear=False)
+
+    V_ = _params_from(variables, mapper, _sd(rm))
+    with torch.no_grad():
+        tout = rm(torch.from_numpy(x))
+    jout = om.apply(V_, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Decomposers (legacy path)
+# ---------------------------------------------------------------------------
+
+
+def _map_gat(sd, fill, tprefix, jprefix, nheads):
+    for i in range(nheads):
+        fill.put("params", f"{jprefix}/attention_{i}/W",
+                 np.asarray(sd.pop(f"{tprefix}.attention_{i}.W")))
+        fill.put("params", f"{jprefix}/attention_{i}/a",
+                 np.asarray(sd.pop(f"{tprefix}.attention_{i}.a")))
+
+
+@pytest.mark.parametrize("graph_attn,mlp_type", [(True, 0), (False, 1)])
+def test_component_mixer_parity(graph_attn, mlp_type):
+    """ComponentMixer with the reference defaults (norm=None):
+    GAT / MultiHeadSelfAttention mixing, GEGLU FF, anchor MLPs for both
+    mlp_types, flat aggregator, latent normalization
+    (mixer.py:88-295, common.py:28-109)."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.decomposers.mixer import ComponentMixer as RefMixer
+
+    from difffacto_tpu.models.decomposers import ComponentMixer as OurMixer
+
+    C, NH = 16, 4
+    torch.manual_seed(71)
+    kw = dict(
+        num_anchors=K, part_latent_dim=C, include_attention=True, nheads=NH,
+        use_graph_attention=graph_attn, include_global_feature=True,
+        global_mlp_type=0, normalize_latent=True, mlp_type=mlp_type,
+    )
+    rm = RefMixer(**kw).eval()
+    om = OurMixer(**kw)
+    rng = np.random.RandomState(71)
+    lat = rng.randn(B, K, C).astype(np.float32)
+
+    variables = jax.jit(lambda: om.init(jax.random.PRNGKey(0), jnp.asarray(lat)))()
+
+    def mapper(sd, fill):
+        if mlp_type == 0:
+            for i, ci in enumerate((0, 3, 6)):
+                _map_linear(sd, fill, f"mlp.{ci}", f"mlp/Dense_{i}")
+        else:
+            fill.put("params", "mlp_c1/kernel", _conv1d_to_dense(sd.pop("mlp.2.weight")))
+            fill.put("params", "mlp_c1/bias", np.asarray(sd.pop("mlp.2.bias")))
+            fill.put("params", "mlp_c2/kernel", _conv1d_to_dense(sd.pop("mlp.5.weight")))
+            fill.put("params", "mlp_c2/bias", np.asarray(sd.pop("mlp.5.bias")))
+            _map_linear(sd, fill, "anchor_regressor.2", "reg_c1")
+            _map_linear(sd, fill, "anchor_regressor.5", "reg_c2")
+        if graph_attn:
+            _map_gat(sd, fill, "attention", "attention", NH)
+        else:
+            for n in ("Wq", "Wk", "Wv"):
+                _map_linear(sd, fill, f"attention.{n}", f"attention/{n}")
+        _map_feedforward_glu(sd, fill, "ff", "ff")
+        _map_layernorm(sd, fill, "norm1", "norm1")
+        _map_layernorm(sd, fill, "norm2", "norm2")
+        for i, ci in enumerate((0, 2, 4)):
+            _map_linear(sd, fill, f"aggregator.{ci}", f"aggregator/Dense_{i}")
+
+    V_ = _params_from(variables, mapper, _sd(rm))
+    with torch.no_grad():
+        tg, tc, tl = rm(torch.from_numpy(lat))
+    jg, jc, jl = om.apply(V_, jnp.asarray(lat))
+    np.testing.assert_allclose(np.asarray(jc), tc.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jl), tl.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jg), tg.numpy(), atol=1e-4)
+
+
+def test_part_code_transformer_parity():
+    """PartCodeTransformer ViT: fused-qkv blocks with the double-sqrt score
+    scaling, class embedding concat, masked codes and the masked-code global
+    aggregate (transformer.py:26-259); output_channels == width as the
+    reference's own assert requires."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.decomposers.transformer import (
+        PartCodeTransformer as RefPCT,
+    )
+
+    from difffacto_tpu.models.decomposers import PartCodeTransformer as OurPCT
+
+    W, L, H, IN = 32, 2, 2, 10
+    torch.manual_seed(72)
+    rm = RefPCT(
+        device=torch.device("cpu"), input_channels=IN, output_channels=W,
+        n_ctx=K, width=W, layers=L, heads=H, class_cond=True, param_cond=True,
+        param_dim=6, use_mask_in_transformer=True,
+    ).eval()
+    with torch.no_grad():  # output_proj is zeroed; randomize for a real test
+        rm.output_proj.weight.normal_(0, 0.05)
+        rm.output_proj.bias.normal_(0, 0.05)
+    om = OurPCT(
+        input_channels=IN, output_channels=W, n_ctx=K, width=W, layers=L,
+        heads=H, class_cond=True, param_cond=True, param_dim=6,
+        use_mask_in_transformer=True,
+    )
+    rng = np.random.RandomState(72)
+    x = rng.randn(B, K, IN).astype(np.float32)
+    par = rng.randn(B, K, 6).astype(np.float32)
+    mask = np.ones((B, K), np.float32)
+    mask[1, 3] = 0.0
+
+    variables = jax.jit(
+        lambda: om.init(jax.random.PRNGKey(0), jnp.asarray(x), (jnp.asarray(par),),
+                        jnp.asarray(mask))
+    )()
+
+    def mapper(sd, fill):
+        _map_linear(sd, fill, "input_proj", "input_proj")
+        _map_linear(sd, fill, "output_proj", "output_proj")
+        _map_layernorm(sd, fill, "ln_pre", "ln_pre")
+        _map_layernorm(sd, fill, "ln_post", "ln_post")
+        fill.put("params", "class_embedding/embedding",
+                 np.asarray(sd.pop("class_embedding.weight")))
+        for n in ("c_fc", "c_proj"):
+            _map_linear(sd, fill, f"aggregate.{n}", f"aggregate/{n}")
+        for i in range(L):
+            tp = f"backbone.resblocks.{i}"
+            _map_layernorm(sd, fill, f"{tp}.ln_1", f"resblocks_{i}/ln_1")
+            _map_layernorm(sd, fill, f"{tp}.ln_2", f"resblocks_{i}/ln_2")
+            _map_linear(sd, fill, f"{tp}.attn.c_qkv", f"resblocks_{i}/attn/c_qkv")
+            _map_linear(sd, fill, f"{tp}.attn.c_proj", f"resblocks_{i}/attn/c_proj")
+            _map_linear(sd, fill, f"{tp}.mlp.c_fc", f"resblocks_{i}/mlp/c_fc")
+            _map_linear(sd, fill, f"{tp}.mlp.c_proj", f"resblocks_{i}/mlp/c_proj")
+
+    V_ = _params_from(variables, mapper, _sd(rm))
+    with torch.no_grad():
+        tz, tcodes = rm(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            [torch.from_numpy(par.transpose(0, 2, 1))],
+            torch.from_numpy(mask),
+        )
+    jz, jcodes = om.apply(
+        V_, jnp.asarray(x), (jnp.asarray(par),), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(jcodes), tcodes.transpose(1, 2).numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(jz), tz.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Language components
+# ---------------------------------------------------------------------------
+
+
+def _map_lstm(sd, fill, H):
+    """torch nn.LSTM fused [i,f,g,o] gate weights -> flax OptimizedLSTMCell
+    per-gate denses; torch adds bias_ih + bias_hh, flax keeps one bias on the
+    hidden dense."""
+    w_ih = np.asarray(sd.pop("rnn.weight_ih_l0"))
+    w_hh = np.asarray(sd.pop("rnn.weight_hh_l0"))
+    b = np.asarray(sd.pop("rnn.bias_ih_l0")) + np.asarray(sd.pop("rnn.bias_hh_l0"))
+    for c, g in enumerate("ifgo"):
+        fill.put("params", f"OptimizedLSTMCell_0/i{g}/kernel", w_ih[c * H:(c + 1) * H].T)
+        fill.put("params", f"OptimizedLSTMCell_0/h{g}/kernel", w_hh[c * H:(c + 1) * H].T)
+        fill.put("params", f"OptimizedLSTMCell_0/h{g}/bias", b[c * H:(c + 1) * H])
+    fill.put("params", "word_embedding/embedding", np.asarray(sd.pop("word_embedding.weight")))
+    fill.put("params", "w_attn", np.asarray(sd.pop("w_attn")))
+
+
+def test_lstm_text_encoder_parity():
+    """LSTM + bilinear word attention over padded tokens
+    (language_encoders.py:10-88), incl. variable sequence lengths (the torch
+    pack/pad dance vs our masked nn.RNN)."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.encoders.language_encoders import LSTM as RefLSTM
+
+    from difffacto_tpu.models.language import LSTM as OurLSTM
+
+    H, E, V, L = 12, 10, 40, 7
+    torch.manual_seed(51)
+    rl = RefLSTM(text_dim=H, embedding_dim=E, vocab_size=V).eval()
+    ol = OurLSTM(text_dim=H, embedding_dim=E, vocab_size=V)
+
+    rng = np.random.RandomState(51)
+    toks = rng.randint(1, V, (B, L))
+    toks[0, 4:] = 0  # padded tails of different lengths
+    toks[1, 6:] = 0
+    toks = toks.astype(np.int64)
+
+    variables = jax.jit(
+        lambda: ol.init(jax.random.PRNGKey(0), jnp.asarray(toks, jnp.int32))
+    )()
+    V_ = _params_from(variables, lambda sd, fill: _map_lstm(sd, fill, H), _sd(rl))
+    with torch.no_grad():
+        tfeat, tattn = rl(torch.from_numpy(toks), dropout=0.0)
+    jfeat, jattn = ol.apply(V_, jnp.asarray(toks, jnp.int32))
+    np.testing.assert_allclose(np.asarray(jfeat), tfeat.numpy(), atol=1e-5)
+    # torch pads attn rows to the max length in batch; compare valid columns
+    np.testing.assert_allclose(
+        np.asarray(jattn)[:, : tattn.shape[1]], tattn.numpy(), atol=1e-5
+    )
+
+
+def test_multihead_cross_attention_parity():
+    """Text/part cross attention with indicator slicing
+    (language_encoders.py:90-127)."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.encoders.language_encoders import (
+        MultiHeadCrossAttention as RefMHCA,
+    )
+
+    from difffacto_tpu.models.language import MultiHeadCrossAttention as OurMHCA
+
+    torch.manual_seed(52)
+    kw = dict(src_channel=10, tgt_channel=14, out_channel=16, qk_dim=24, nheads=4)
+    rm = RefMHCA(**kw).eval()
+    om = OurMHCA(**kw)
+    rng = np.random.RandomState(52)
+    src = rng.randn(B, K, 10).astype(np.float32)
+    tgt = rng.randn(B, K, 14).astype(np.float32)
+    ind = np.zeros((B, K), np.float32)
+    ind[np.arange(B), [0, 2, 3]] = 1.0
+
+    variables = jax.jit(
+        lambda: om.init(jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(tgt),
+                        jnp.asarray(ind))
+    )()
+
+    def mapper(sd, fill):
+        for n in ("Wq", "Wk", "Wv", "linear1", "linear2"):
+            _map_linear(sd, fill, n, n)
+        _map_layernorm(sd, fill, "norm", "norm")
+
+    V_ = _params_from(variables, mapper, _sd(rm))
+    with torch.no_grad():
+        tout = rm(torch.from_numpy(src), torch.from_numpy(tgt), torch.from_numpy(ind))
+    jout = om.apply(V_, jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(ind))
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("regress_weights", [False, True])
+def test_latent_language_fuser_parity(regress_weights):
+    """Residual text-to-part fusion MLP (language_encoders.py:130-224), with
+    indicator weights and with the sigmoid weight regressor."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.encoders.language_encoders import (
+        LatentLanguageFuser as RefFuser,
+    )
+
+    from difffacto_tpu.models.language import LatentLanguageFuser as OurFuser
+
+    TD, PD = 10, 12
+    torch.manual_seed(53)
+    rf = RefFuser(text_dim=TD, part_dim=PD, num_part=K, mid_dim=32,
+                  regress_weights=regress_weights).eval()
+    of = OurFuser(text_dim=TD, part_dim=PD, num_part=K, mid_dim=32,
+                  regress_weights=regress_weights)
+
+    rng = np.random.RandomState(53)
+    pl = rng.randn(B, K, PD).astype(np.float32)
+    tl = rng.randn(B, TD).astype(np.float32)
+    ind = np.zeros((B, K), np.float32)
+    ind[np.arange(B), [1, 0, 3]] = 1.0
+
+    variables = jax.jit(
+        lambda: of.init(jax.random.PRNGKey(0), jnp.asarray(pl), jnp.asarray(ind),
+                        jnp.asarray(tl))
+    )()
+
+    def mapper(sd, fill):
+        for i in (0, 1, 2, 3, 4):
+            _map_linear(sd, fill, f"part_latent_fuser.{i}", f"fuser{i}")
+        if regress_weights:
+            for i, li in enumerate((0, 2, 4)):
+                _map_linear(sd, fill, f"weight_regressor.{li}", f"Dense_{i}")
+
+    V_ = _params_from(variables, mapper, _sd(rf))
+    with torch.no_grad():
+        tout = rf(
+            torch.from_numpy(pl), torch.from_numpy(ind), torch.from_numpy(tl)
+        )
+    # Reference DEFECT (language_encoders.py:219-221): on the residual path,
+    # ``fused_latent.unsqueeze(2)`` turns (B,1,K,D) into (B,1,1,K,D), so the
+    # (B,1,K,1) indicator broadcasts across BATCH, yielding a (B,B,1,K,D)
+    # cross-product; entry [a,b] mixes shape b's parts with shape a's fused
+    # delta. The intended result is the diagonal [b,b] — which is what our
+    # fuser computes directly.
+    assert tout.shape == (B, B, 1, K, 12)
+    tdiag = np.stack([tout.numpy()[b, b] for b in range(B)])
+    jout = of.apply(V_, jnp.asarray(pl), jnp.asarray(ind), jnp.asarray(tl))
+    np.testing.assert_allclose(np.asarray(jout), tdiag, atol=1e-5)
+
+
+def test_part_language_selector_parity():
+    """Indicator-selected part latent (language_encoders.py:228-247)."""
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto.models.encoders.language_encoders import (
+        PartLanguageSelector as RefSel,
+    )
+
+    from difffacto_tpu.models.language import PartLanguageSelector as OurSel
+
+    torch.manual_seed(54)
+    rs = RefSel(text_dim=8, part_dim=12, out_channel=12).eval()
+    os_ = OurSel(text_dim=8, part_dim=12, out_channel=12)
+    rng = np.random.RandomState(54)
+    src = rng.randn(B, 5, 8).astype(np.float32)
+    tgt = rng.randn(B, K, 12).astype(np.float32)
+    ind = np.zeros((B, K), np.float32)
+    ind[np.arange(B), [2, 1, 0]] = 1.0
+    with torch.no_grad():
+        tout = rs(torch.from_numpy(src), torch.from_numpy(tgt), torch.from_numpy(ind))
+    variables = os_.init(
+        jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(ind)
+    )
+    jout = os_.apply(variables, jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(ind))
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=0)
+
+
+def test_reference_unet_forward_broken_as_shipped():
+    """Pin the reference defect: UNet.forward calls
+    ``timestep_embedding(t, dim, repeat_only=False)`` (nets/unet.py:336) but
+    the imported utils.timestep_embedding (nets/utils.py:7) has no such
+    kwarg — the UNet denoiser crashes on its first forward. Our UNet
+    (models/denoiser.py:382) is a re-design of the intent (GroupNorm+SiLU
+    in-layers, scale-shift time conditioning, prior/language block pairs)
+    with no numerical golden possible."""
+    _install_reference()
+    from difffacto.models.diffusions.nets.unet import UNet as RefUNet
+
+    torch.manual_seed(81)
+    rm = RefUNet(in_channels=64, n_heads=2, d_head=32, depth=1, embed_dim=16).eval()
+    x = torch.randn(2, 64, K)
+    t = torch.tensor([1, 3])
+    with pytest.raises(TypeError, match="repeat_only"):
+        with torch.no_grad():
+            rm(x, t)
 
 
 def test_reference_segmentor_unbuildable_as_shipped():

@@ -395,4 +395,6 @@ class TestLatentNets:
         x = randn(2, 4, 16)
         vs = jax.jit(lambda: m.init(RNGS, x))()
         z, codes = m.apply(vs, x)
-        assert z.shape == (2, 32) and codes.shape == (2, 16)
+        # reference V2 get_global_from_part: z IS the flattened codes
+        # (transformer.py:300-303)
+        assert z.shape == (2, 16) and codes.shape == (2, 16)
