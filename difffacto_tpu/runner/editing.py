@@ -300,6 +300,109 @@ def interpolate_params(model: AnchorDiffAE, variables, rng, batch, part_id: int 
     return result
 
 
+# ------------------------------------------------ diversity subsampling
+def _param_scores(mean, logvar, valid, draws):
+    """Per-candidate bbox-normalized sample statistics used as the diversity
+    score (part_encoders.py:553-561): draw 512 points per part from the
+    candidate Gaussians, normalize by the valid-part bbox, score =
+    [mean | 2*log(std)] per part (std unbiased, torch parity)."""
+    C = mean.shape[0]
+    scores = np.empty(mean.shape[:-1] + (6,), np.float64)  # (C, K, 6)
+    for c in range(C):
+        pts = draws[c] * np.exp(0.5 * logvar[c])[None] + mean[c][None]  # (512, K, 3)
+        vpts = pts[:, valid.astype(bool)].reshape(-1, 3)
+        shift = (vpts.max(0) + vpts.min(0)) / 2
+        scale = (vpts.max(0) - vpts.min(0)).max() / 2
+        pts = (pts - shift) / scale
+        scores[c] = np.concatenate(
+            [pts.mean(0), 2.0 * np.log(pts.std(0, ddof=1))], axis=-1
+        )
+    return scores
+
+
+def _greedy_select(param, score, valid, num):
+    """Greedy farthest-score selection (part_encoders.py:563-583): start at
+    candidate 0, repeatedly add the candidate maximizing the minimum
+    valid-weighted MSE score distance to the selected set."""
+    C = score.shape[0]
+    selected = [0]
+    vsum = valid.sum()
+    while len(selected) < num:
+        best_i, best_d = None, -np.inf
+        for i in range(C):
+            if i in selected:
+                continue
+            d = ((score[i][None] - score[selected]) ** 2) * valid[None, :, None]
+            d = d.sum(axis=(-1, -2)) / vsum
+            dmin = d.min()
+            if dmin > best_d:
+                best_d, best_i = dmin, i
+        selected.append(best_i)
+    return selected
+
+
+def subsample_params(mean, logvar, valid_id, num, rng=None, return_ids=False,
+                     _point_draws=None):
+    """Selective down-sampling of aligner param candidates
+    (part_encoders.py:545-589), host-side numpy.
+
+    mean/logvar: (B, C, K, 3) — C candidate parameter sets per row;
+    valid_id: (B, K). Returns (mean_sel, logvar_sel) each (B, num, K, 3)
+    (+ the (B, num) selected indices with ``return_ids``).
+    """
+    mean = np.asarray(mean, np.float64)
+    logvar = np.asarray(logvar, np.float64)
+    valid_id = np.asarray(valid_id, np.float64)
+    B, C, Kc, _ = mean.shape
+    rng = rng or np.random.RandomState(0)
+    if _point_draws is None:
+        _point_draws = rng.standard_normal((B, C, 512, Kc, 3))
+    ids = np.empty((B, num), np.int64)
+    for b in range(B):
+        scores = _param_scores(mean[b], logvar[b], valid_id[b], _point_draws[b])
+        ids[b] = _greedy_select(mean[b], scores, valid_id[b], num)
+    msel = np.take_along_axis(mean, ids[..., None, None], axis=1).astype(np.float32)
+    vsel = np.take_along_axis(logvar, ids[..., None, None], axis=1).astype(np.float32)
+    if return_ids:
+        return (msel, vsel), ids
+    return msel, vsel
+
+
+def subsample_params_global(mean, logvar, valid_id, num, rng=None,
+                            _point_draws=None):
+    """Greedy diverse selection ACROSS rows (part_encoders.py:592-621):
+    mean/logvar (B, K, 3), valid_id (B, K) -> ((mean_sel, logvar_sel) each
+    (num, K, 3), selected row indices)."""
+    mean = np.asarray(mean, np.float64)
+    logvar = np.asarray(logvar, np.float64)
+    valid_id = np.asarray(valid_id, np.float64)
+    B, Kc, _ = mean.shape
+    rng = rng or np.random.RandomState(0)
+    if _point_draws is None:
+        _point_draws = rng.standard_normal((B, 512, Kc, 3))
+    # each row is scored with ITS OWN valid-part bbox normalization
+    score = np.concatenate([
+        _param_scores(mean[b : b + 1], logvar[b : b + 1], valid_id[b],
+                      _point_draws[b : b + 1])
+        for b in range(B)
+    ])
+    selected = [0]
+    alive = np.ones(B, bool)
+    alive[0] = False
+    while len(selected) < num:
+        sel_valid = valid_id[selected]  # (S, K)
+        d = ((score[:, None] - score[selected][None]) ** 2)  # (B, S, K, 6)
+        w = (valid_id[:, None] * sel_valid[None])[..., None]
+        d = (d * w).sum(axis=(-1, -2)) / np.maximum(w[..., 0].sum(-1), 1e-12)
+        d = d.min(1)
+        d[~alive] = -np.inf
+        i = int(np.argmax(d))
+        alive[i] = False
+        selected.append(i)
+    sel = np.asarray(selected, np.int64)
+    return (mean[sel].astype(np.float32), logvar[sel].astype(np.float32)), sel
+
+
 # --------------------------------------------------- single-part resampling
 def sample_one_part(
     model: AnchorDiffAE,
@@ -314,10 +417,17 @@ def sample_one_part(
     sample_num_each: int = 10,
     fix_size: bool = True,
     noise_search: int = 100,
+    param_sample_num: int = 1,
+    selective: bool = False,
 ):
-    """Resample ONE part's latent from the flow prior while keeping the rest;
-    search ``noise_search`` aligner noises and keep the best fit to the other
-    parts' reference params (anchor_gen.py:307-337, part_encoders.py:623-710).
+    """Resample ONE part's latent from the flow prior while keeping the rest
+    (anchor_gen.py:307-337, part_encoders.py:623-710).
+
+    ``fix_size=True`` searches ``noise_search`` aligner noises and keeps the
+    best fit to the other parts' reference params (part_encoders.py:677-682).
+    ``fix_size=False`` keeps ``param_sample_num`` parameter sets per variant:
+    the greedy-diverse ``subsample_params`` selection when ``selective``
+    (part_encoders.py:684-685), else simply the first candidates (:686-687).
 
     codes: (S, K_cls, zdim); gt_mean/gt_logvar: (S, K_cls, 3); seg_mask (S, N).
     """
@@ -352,19 +462,31 @@ def sample_one_part(
     gt = jnp.concatenate(
         [jnp.asarray(gt_mean), jnp.asarray(gt_logvar)], axis=-1
     )[:, None, None]  # (S,1,1,K_cls,6)
-    fit = ((jnp.concatenate([mean, logvar], axis=-1) - gt) ** 2).sum(-1)
-    fit = fit * jnp.asarray(valid_id)[:, None, None, :]
-    fit = fit.at[..., part_id].set(0.0)
-    best = jnp.argmin(fit.sum(-1), axis=2)  # (S, E)
+    P = 1 if fix_size else max(1, param_sample_num)
+    if fix_size:
+        fit = ((jnp.concatenate([mean, logvar], axis=-1) - gt) ** 2).sum(-1)
+        fit = fit * jnp.asarray(valid_id)[:, None, None, :]
+        fit = fit.at[..., part_id].set(0.0)
+        idx = jnp.argmin(fit.sum(-1), axis=2)[..., None]  # (S, E, 1)
+    elif selective:
+        (_, _), ids = subsample_params(
+            np.asarray(mean).reshape(S * E, Kn, n_class, 3),
+            np.asarray(logvar).reshape(S * E, Kn, n_class, 3),
+            np.repeat(np.asarray(valid_id), E, axis=0),
+            P,
+            return_ids=True,
+        )
+        idx = jnp.asarray(ids.reshape(S, E, P))
+    else:
+        idx = jnp.broadcast_to(jnp.arange(P)[None, None], (S, E, P))
 
-    take = lambda a: jnp.take_along_axis(
-        a, best[..., None, None, None], axis=2
-    )[:, :, 0]
-    mean_b = take(mean).reshape(S * E, n_class, 3)
-    logvar_b = take(logvar).reshape(S * E, n_class, 3)
+    take = lambda a: jnp.take_along_axis(a, idx[..., None, None], axis=2)
+    mean_b = take(mean).reshape(S * E * P, n_class, 3)
+    logvar_b = take(logvar).reshape(S * E * P, n_class, 3)
+    codes_rep = jnp.repeat(codes_rep, P, axis=0)
 
-    seg = jnp.repeat(jnp.asarray(seg_mask).astype(jnp.int32), E, axis=0)
-    valid_e = jnp.repeat(jnp.asarray(valid_id), E, axis=0)
+    seg = jnp.repeat(jnp.asarray(seg_mask).astype(jnp.int32), E * P, axis=0)
+    valid_e = jnp.repeat(jnp.asarray(valid_id), E * P, axis=0)
 
     def _prep(mdl, pc, m, lvr, sm):
         enc = mdl.encoder_mod
@@ -378,13 +500,14 @@ def sample_one_part(
         seg_mask=seg, valid_id=valid_e, ret_traj=False,
     )
     N = seg.shape[1]
+    EP = E * P
     return {
-        "pred": np.asarray(out["pred"]).reshape(S, E, N, 3),
-        "seg_mask": np.asarray(seg).reshape(S, E, N),
-        "valid_id": np.asarray(valid_e).reshape(S, E, n_class),
-        "codes": np.asarray(codes_rep).reshape(S, E, n_class, zdim),
-        "means": np.asarray(mean_b).reshape(S, E, n_class, 3),
-        "logvars": np.asarray(logvar_b).reshape(S, E, n_class, 3),
+        "pred": np.asarray(out["pred"]).reshape(S, EP, N, 3),
+        "seg_mask": np.asarray(seg).reshape(S, EP, N),
+        "valid_id": np.asarray(valid_e).reshape(S, EP, n_class),
+        "codes": np.asarray(codes_rep).reshape(S, EP, n_class, zdim),
+        "means": np.asarray(mean_b).reshape(S, EP, n_class, 3),
+        "logvars": np.asarray(logvar_b).reshape(S, EP, n_class, 3),
     }
 
 

@@ -80,6 +80,19 @@ def test_sample_one_part(model_setup):
     np.testing.assert_allclose(out["codes"][:, 0, 0], codes[:, 0], atol=1e-5)
     assert not np.allclose(out["codes"][:, 0, 1], codes[:, 1])
 
+    # diverse param subsampling path (part_encoders.py:683-687): keep 2
+    # parameter sets per variant, selective greedy and first-P flavors
+    for selective in (True, False):
+        out2 = sample_one_part(
+            model, variables, jax.random.PRNGKey(5), codes, valid, gt_mean,
+            gt_logvar, seg, part_id=1, sample_num_each=2, noise_search=5,
+            fix_size=False, param_sample_num=2, selective=selective,
+        )
+        assert out2["pred"].shape == (S, 4, NPOINTS, 3)
+        assert np.isfinite(out2["pred"]).all()
+        # the two parameter sets of one variant differ (diverse/distinct draws)
+        assert not np.allclose(out2["means"][:, 0], out2["means"][:, 1])
+
 
 def test_optimize_noise_decreases_loss(model_setup):
     model, variables, _ = model_setup

@@ -854,6 +854,72 @@ def test_training_target_sweep(ref, mean_type):
     )
 
 
+@pytest.mark.parametrize("t", [0, 1, 2, 3])
+def test_fit_loss_variants_parity(ref, t):
+    """Fit-loss types 0-3 (part_encoders.py:489-522; type 4 is covered by
+    test_ctx_and_fit_loss_parity). The sampled variants are made
+    deterministic by collapsing the sampling variance: type 2 with
+    logvar=-80 (sample == mean), type 3 with gt_var=1e-30 (sample ==
+    gathered gt mean)."""
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto_tpu.utils.registry import ENCODERS as OUR_ENCODERS
+    from difffacto_tpu.utils.registry import build_from_cfg as our_build
+
+    seg, part_code, mean, logvar, valid, x, _, rng = _shared_diffusion_inputs(ref)
+    segt, _, tmean_pp, tlogvar_pp, tflag_pp = _ref_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    _, _, jmean_pp, jlogvar_pp, jflag_pp = _our_ctx_and_pp(
+        ref, seg, part_code, mean, logvar, valid
+    )
+    if t == 2:
+        logvar = np.full_like(logvar, -80.0)  # sample == mean on both sides
+    gt_shift = (rng.randn(B, K, 3) * 0.1).astype(np.float32)
+    gt_var = (np.abs(rng.randn(B, K, 3)) * 0.3 + 0.5).astype(np.float32)
+    if t == 3:
+        gt_var = np.full_like(gt_var, 1e-30)  # sample == gathered gt mean
+    ref_pts = rng.randn(B, N, 3).astype(np.float32)
+
+    renc = ref["ref_model"].encoder
+    old_t = renc.fit_loss_type
+    renc.fit_loss_type = t
+    try:
+        with torch.no_grad():
+            tfl = renc.get_fit_loss(
+                torch.from_numpy(ref_pts.transpose(0, 2, 1)),
+                torch.from_numpy(mean.transpose(0, 2, 1)),
+                torch.from_numpy(logvar.transpose(0, 2, 1)),
+                torch.from_numpy(valid),
+                tmean_pp, tlogvar_pp, tflag_pp,
+                torch.from_numpy(gt_shift.transpose(0, 2, 1)),
+                torch.from_numpy(gt_var.transpose(0, 2, 1)),
+                segt,
+            )
+    finally:
+        renc.fit_loss_type = old_t
+
+    oenc = our_build(
+        dict(ref["model_cfg"]["encoder"], fit_loss_type=t), OUR_ENCODERS
+    )
+    args = (
+        jnp.asarray(ref_pts), jnp.asarray(mean), jnp.asarray(logvar),
+        jnp.asarray(valid), jmean_pp, jlogvar_pp, jflag_pp,
+        jnp.asarray(gt_shift), jnp.asarray(gt_var),
+        jnp.asarray(seg, jnp.int32),
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = oenc.init(rngs, *args, method="get_fit_loss")
+    jfl = oenc.apply(
+        variables, *args, method="get_fit_loss",
+        rngs={"sample": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(jfl), tfl.numpy(), rtol=1e-4, atol=1e-6, err_msg=f"type {t}"
+    )
+
+
 def test_guidance_parity(ref):
     """Classifier-free guidance mixing (anchored_diffusion.py:263-268) with
     the real gen_chair denoiser at classifier_weight=2."""

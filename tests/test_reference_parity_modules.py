@@ -1166,6 +1166,61 @@ def test_part_language_selector_parity():
     np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=0)
 
 
+def test_subsample_params_matches_reference():
+    """Greedy diversity subsampling of aligner params
+    (part_encoders.py:545-589): same injected 512-point score draws ->
+    identical selected indices and parameters."""
+    _install_reference()
+    from difffacto.utils.registry import MODELS as REF_MODELS
+    from difffacto.utils.registry import build_from_cfg as ref_build
+
+    from test_reference_parity import REF_CFG, _load_model_cfg
+
+    from difffacto_tpu.runner.editing import subsample_params
+
+    model_cfg = _load_model_cfg(os.path.join(REF_CFG, "gen_chair.py"))
+    torch.manual_seed(91)
+    renc = ref_build(dict(model_cfg), REF_MODELS).eval().encoder
+
+    rng = np.random.RandomState(91)
+    Bs, C, num = 2, 5, 3
+    mean = (rng.randn(Bs, C, K, 3) * 0.3).astype(np.float32)
+    logvar = (rng.randn(Bs, C, K, 3) * 0.2 - 1.5).astype(np.float32)
+    valid = np.ones((Bs, K), np.float32)
+    valid[1, 3] = 0.0
+    draws = rng.standard_normal((Bs, C, 512, K, 3)).astype(np.float32)
+
+    queue = [torch.from_numpy(draws[b, c].transpose(0, 2, 1).copy())
+             for b in range(Bs) for c in range(C)]
+    it = iter(queue)
+    randn = torch.randn
+    torch.randn = lambda *shape, **kw: next(it)
+    try:
+        with torch.no_grad():
+            (tms, tvs), tids = renc.subsample_params(
+                torch.from_numpy(mean.transpose(0, 1, 3, 2)),
+                torch.from_numpy(logvar.transpose(0, 1, 3, 2)),
+                torch.from_numpy(valid), num, return_ids=True,
+            )
+    finally:
+        torch.randn = randn
+
+    (jms, jvs), jids = subsample_params(
+        mean, logvar, valid, num, return_ids=True, _point_draws=draws
+    )
+    np.testing.assert_array_equal(
+        jids, np.stack([t.numpy() for t in tids])
+    )
+    np.testing.assert_allclose(
+        jms.reshape(-1, K, 3), tms.numpy().transpose(0, 2, 1).reshape(-1, K, 3),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        jvs.reshape(-1, K, 3), tvs.numpy().transpose(0, 2, 1).reshape(-1, K, 3),
+        atol=1e-6,
+    )
+
+
 def test_reference_unet_forward_broken_as_shipped():
     """Pin the reference defect: UNet.forward calls
     ``timestep_embedding(t, dim, repeat_only=False)`` (nets/unet.py:336) but
