@@ -355,6 +355,7 @@ class AnchoredDiffusion:
         noise=None,
         ret_traj: bool = False,
         ret_interval: int = 20,
+        step_noise=None,
     ):
         """Full reverse chain as one ``lax.scan``.
 
@@ -362,6 +363,12 @@ class AnchoredDiffusion:
         'traj' (T_kept, B, N, 3) with 'traj_t' step labels — the scan-native
         equivalent of the reference's generator keeping every
         ``ret_interval``-th step (anchor_gen.py:145-169).
+
+        ``step_noise`` (T, B, N, 3), optional: per-step Gaussian draws fed as
+        scan xs instead of in-loop threefry (deterministic replay — the
+        golden reverse-chain parity test against the reference's
+        ``p_sample_loop_progressive``, anchored_diffusion.py:529-588;
+        throughput-neutral per the A/B note below).
         """
         # Chain state/math stays f32 regardless of the denoiser's compute
         # dtype — schedule coefficients are f32 and bf16 accumulation over
@@ -388,16 +395,26 @@ class AnchoredDiffusion:
         step_rngs = jax.random.split(chain_rng, steps.shape[0])
 
         def body(x, inp):
-            t_scalar, srng = inp
+            if step_noise is None:
+                t_scalar, srng = inp
+                eps = None
+            else:
+                t_scalar, srng, eps = inp
             t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
             out = self.p_sample(
-                model_fn, srng, x, t, anchors, ctx, variance, seg_mask, valid_id
+                model_fn, srng, x, t, anchors, ctx, variance, seg_mask,
+                valid_id, noise=eps,
             )
             nxt = out["sample"]
             y = nxt if ret_traj else jnp.zeros((0,), x.dtype)
             return nxt, y
 
-        final, traj = jax.lax.scan(body, x_T, (steps, step_rngs))
+        xs = (
+            (steps, step_rngs)
+            if step_noise is None
+            else (steps, step_rngs, step_noise.astype(anchors.dtype))
+        )
+        final, traj = jax.lax.scan(body, x_T, xs)
         result = {"pred": final}
         if ret_traj:
             keep = np.asarray(self.steps)[::-1] % ret_interval == 0
