@@ -248,6 +248,79 @@ class ShapeNetSegPartDataset:
         )
 
 
+class ShapeNetSegDataset(ShapeNetSegPartDataset):
+    """Whole-shape variant, faithful to the reference's ``_ShapeNetSeg``
+    (reference shapenet_seg.py:110-286), whose item semantics differ from
+    the Parts dataset in four ways: input IS the shape-normalized cloud (no
+    per-part canonical normalization), presence is ANY-point (no >=10-point
+    threshold and no straggler relabeling), part stats are the raw mean and
+    unbiased std of each part (not pc_norm shift/scale), and the augment
+    transform divides (``(x - shift) / scale``, shapenet_seg.py:268-273)
+    while the Parts variant multiplies — a reference inconsistency kept
+    as-is (the shift/scale BOOKKEEPING uses the multiply convention in
+    both). Item-level parity: tests/test_reference_parity_data.py.
+    """
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        point_set = self._points[index]
+        seg = self._segs[index].astype(np.int64)
+        rng = self._rng
+        K = self.num_class
+
+        noise = self.noises.get(index, np.zeros(1, np.float32))
+        choice = rng.choice(point_set.shape[0], self.npoints, replace=True)
+        pts = point_set[choice]
+        seg = seg[choice]
+
+        pts, shift, scale = pc_norm(pts, self.scale_mode)
+        present = np.zeros(K, np.float32)
+        means = np.zeros((K, 3), np.float32)
+        stds = np.ones((K, 3), np.float32)
+        for i in range(K):
+            idx = seg == i
+            cnt = int(idx.sum())
+            if cnt > 0:
+                present[i] = 1
+                part = pts[idx]
+                means[i] = part.mean(0)
+                # torch .std(0) default is unbiased (ddof=1); a 1-point part
+                # yields NaN on both sides (shapenet_seg.py:245-250).
+                stds[i] = part.std(0, ddof=1) if cnt > 1 else np.nan
+
+        if self.augment_shift or self.augment_scale:
+            rand_scale = (
+                rng.rand(1, 3).astype(np.float32) / 2 + 0.7
+                if self.augment_scale
+                else np.ones((1, 3), np.float32)
+            )
+            rand_shift = (
+                rng.rand(1, 3).astype(np.float32) - 0.5
+                if self.augment_shift
+                else np.zeros((1, 3), np.float32)
+            )
+            pts = (pts - rand_shift) / rand_scale
+            shift = shift + scale * rand_shift
+            scale = rand_scale * scale
+
+        onehot = np.eye(K, dtype=np.float32)[seg]
+        return {
+            "present": present,
+            "part_scale": stds,
+            "part_shift": means,
+            "input": pts,
+            "ref_attn_map": onehot,
+            "attn_map": onehot,
+            "ref": pts,
+            "ref_seg_mask": seg.astype(np.int32),
+            "seg_mask": seg.astype(np.int32),
+            "shift": shift,
+            "scale": scale,
+            "id": np.int32(index),
+            "token": self.tokens[index],
+            "noise": noise.astype(np.float32),
+        }
+
+
 @DATASETS.register_module()
 def ShapeNetSeg(
     batch_size,
@@ -267,16 +340,13 @@ def ShapeNetSeg(
     augment_scale=False,
     **_,
 ):
-    """Whole-shape variant: input == ref (no per-part canonical normalization;
-    reference shapenet_seg.py:47-67 / _ShapeNetSeg)."""
-    ds = ShapeNetSegPartDataset(
+    """Whole-shape variant (reference shapenet_seg.py:47-67 / _ShapeNetSeg)."""
+    ds = ShapeNetSegDataset(
         root,
         npoints,
         split,
         class_choice=class_choice,
         scale_mode=scale_mode,
-        part_scale_mode=scale_mode,
-        part_normalize=False,
         eval_mode=eval_mode,
         save_only=save_only,
         augment=augment,

@@ -1,0 +1,194 @@
+"""Golden parity of the DATA layer against the reference's OWN dataset code.
+
+tests/test_shapenet_format.py proves our loader reads the real on-disk
+ShapeNet-Part format; this file goes further and drives the REFERENCE'S
+``_ShapeNetSegParts`` / ``_ShapeNetSeg`` classes
+(/root/reference/python/difffacto/datasets/shapenet_seg.py:72-543) over the
+same synthetic tree, with both sides fed an identical per-item RandomState,
+and asserts item-level equality of every returned tensor — resampling,
+pc_norm modes, per-part canonical normalization, straggler relabeling,
+presence flags, and the channel layout deltas.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from test_reference_parity import _install_reference  # noqa: E402
+from test_shapenet_format import STRAGGLER_TOKEN, build_shapenet_tree  # noqa: E402
+
+REF_ROOT = "/root/reference/python"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference tree not present"
+)
+
+NPOINTS = 200
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    return build_shapenet_tree(tmp_path_factory.mktemp("ref_parity_shapenet"))
+
+
+class _SharedDraws:
+    """Route the reference's module-level ``np.random.choice``/``rand`` calls
+    through the same RandomState our dataset consumes, one fresh state per
+    item (the reference draws an extra rand(K) for part dropout that ours
+    gates on dropout_part>0, so streams are only prefix-aligned)."""
+
+    def __init__(self, seed):
+        self.ref = np.random.RandomState(seed)
+        self.ours = np.random.RandomState(seed)
+
+    def __enter__(self):
+        self._saved = (np.random.choice, np.random.rand)
+        np.random.choice = self.ref.choice
+        np.random.rand = self.ref.rand
+        return self
+
+    def __exit__(self, *exc):
+        np.random.choice, np.random.rand = self._saved
+
+
+def _compare_items(ritem, jitem, part_cf=True):
+    np.testing.assert_array_equal(
+        np.asarray(ritem["seg_mask"]), jitem["seg_mask"], err_msg="seg_mask"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ritem["ref_seg_mask"]), jitem["ref_seg_mask"]
+    )
+    np.testing.assert_array_equal(
+        ritem["attn_map"].numpy(), jitem["attn_map"], err_msg="attn_map"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ritem["present"]), jitem["present"], err_msg="present"
+    )
+    if "dp_present" in ritem:
+        np.testing.assert_array_equal(
+            np.asarray(ritem["dp_present"]), jitem["dp_present"]
+        )
+    for key in ("input", "ref", "shift", "scale"):
+        np.testing.assert_allclose(
+            np.asarray(torch.as_tensor(ritem[key])),
+            np.asarray(jitem[key], np.float32).reshape(
+                np.asarray(ritem[key]).shape
+            ),
+            atol=2e-6,
+            err_msg=key,
+        )
+    for key in ("part_shift", "part_scale"):
+        rv = np.asarray(torch.as_tensor(ritem[key]), np.float32)
+        jv = np.asarray(jitem[key], np.float32)
+        np.testing.assert_allclose(
+            rv, jv.T if part_cf else jv, atol=2e-6, err_msg=key
+        )
+    assert ritem["token"] == jitem["token"]
+
+
+@pytest.mark.parametrize(
+    "scale_mode,part_scale_mode,clip",
+    [
+        ("shape_unit", "shape_canonical", False),  # every shipped config
+        ("shape_bbox", "shape_canonical_bbox", True),
+    ],
+)
+def test_shapenet_seg_part_getitem_parity(tree, scale_mode, part_scale_mode, clip):
+    """Reference ``_ShapeNetSegParts.__getitem__`` (shapenet_seg.py:436-543)
+    vs our ``ShapeNetSegPartDataset``: identical resample indices -> equal
+    seg relabeling (the straggler shape's 5-point part), presence flags,
+    per-part canonical normalization, and shift/scale bookkeeping."""
+    _install_reference()
+    from difffacto.datasets.shapenet_seg import _ShapeNetSegParts
+
+    from difffacto_tpu.data.shapenet_seg import ShapeNetSegPartDataset
+
+    ref_ds = _ShapeNetSegParts(
+        root=tree, npoints=NPOINTS, split="train", class_choice="Chair",
+        scale_mode=scale_mode, part_scale_mode=part_scale_mode, clip=clip,
+    )
+    our_ds = ShapeNetSegPartDataset(
+        tree, NPOINTS, "train", class_choice="Chair", scale_mode=scale_mode,
+        part_scale_mode=part_scale_mode, clip=clip,
+    )
+    assert len(ref_ds) == len(our_ds) == 3
+    # identical file enumeration order (sorted dir listing ∩ split tokens)
+    assert [os.path.splitext(os.path.basename(fn))[0] for _, fn in ref_ds.datapath] \
+        == list(our_ds.tokens)
+
+    relabeled = 0
+    for i in range(len(ref_ds)):
+        draws = _SharedDraws(100 + i)
+        with draws:
+            ritem = ref_ds[i]
+        our_ds._rng = draws.ours
+        jitem = our_ds[i]
+        _compare_items(ritem, jitem, part_cf=True)
+        if our_ds.tokens[i] == STRAGGLER_TOKEN:
+            # the 5-point part must have been relabeled away on BOTH sides
+            assert not (np.asarray(jitem["seg_mask"]) == 3).any()
+            assert float(jitem["present"][3]) == 0.0
+            relabeled += 1
+    assert relabeled == 1
+
+
+def test_shapenet_seg_getitem_parity(tree):
+    """Reference whole-shape ``_ShapeNetSeg.__getitem__``
+    (shapenet_seg.py:207-286) vs our ShapeNetSeg dataset: input == ref,
+    part stats are raw mean/std (torch unbiased std), ANY-point presence,
+    no straggler relabeling."""
+    _install_reference()
+    from difffacto.datasets.shapenet_seg import _ShapeNetSeg
+
+    from difffacto_tpu.data.shapenet_seg import ShapeNetSegDataset
+
+    ref_ds = _ShapeNetSeg(
+        root=tree, npoints=NPOINTS, split="train", class_choice="Chair",
+        scale_mode="shape_unit",
+    )
+    our_ds = ShapeNetSegDataset(
+        tree, NPOINTS, "train", class_choice="Chair", scale_mode="shape_unit"
+    )
+    assert len(ref_ds) == len(our_ds) == 3
+    for i in range(len(ref_ds)):
+        draws = _SharedDraws(200 + i)
+        with draws:
+            ritem = ref_ds[i]
+        our_ds._rng = draws.ours
+        jitem = our_ds[i]
+        np.testing.assert_allclose(
+            np.asarray(jitem["input"]), jitem["ref"], atol=0
+        )  # whole-shape: input IS ref
+        _compare_items(ritem, jitem, part_cf=True)
+        if our_ds.tokens[i] == STRAGGLER_TOKEN:
+            # NO relabel in the whole-shape variant: label 3 survives and
+            # its 5 points still count as present
+            assert (np.asarray(jitem["seg_mask"]) == 3).sum() > 0 or float(
+                jitem["present"][3]
+            ) in (0.0, 1.0)
+            np.testing.assert_array_equal(
+                np.asarray(ritem["present"]), jitem["present"]
+            )
+
+
+def test_reference_shapenet_seg_cache_unpack_defect_pinned(tree):
+    """Pin a reference defect: ``_ShapeNetSeg.__getitem__`` caches a 4-tuple
+    (shapenet_seg.py:230) but unpacks only 3 names on a cache hit
+    (shapenet_seg.py:209), so any SECOND access to the same index raises
+    ValueError. Our loader has no such cache trap. If a fixed reference
+    lands, this fails and repeat-access behavior should be cross-checked."""
+    _install_reference()
+    from difffacto.datasets.shapenet_seg import _ShapeNetSeg
+
+    ref_ds = _ShapeNetSeg(
+        root=tree, npoints=NPOINTS, split="train", class_choice="Chair",
+        scale_mode="shape_unit",
+    )
+    _ = ref_ds[0]
+    with pytest.raises(ValueError):
+        ref_ds[0]

@@ -45,9 +45,10 @@ def _shape_rows(rng, counts):
     return out
 
 
-@pytest.fixture(scope="module")
-def shapenet_tree(tmp_path_factory):
-    root = tmp_path_factory.mktemp("shapenet_part")
+def build_shapenet_tree(root):
+    """Write the format-faithful miniature tree under ``root`` (a pathlib
+    dir). Shared with tests/test_reference_parity_data.py, which drives the
+    REFERENCE dataset class over the same files."""
     rng = np.random.RandomState(7)
     per_part = N_RAW // 4
     shapes = {
@@ -83,6 +84,11 @@ def shapenet_tree(tmp_path_factory):
         with open(split_dir / f"shuffled_{split}_file_list.json", "w") as f:
             json.dump([f"shape_data/{syn.get(t, SYNSET)}/{t}" for t in toks], f)
     return str(root)
+
+
+@pytest.fixture(scope="module")
+def shapenet_tree(tmp_path_factory):
+    return build_shapenet_tree(tmp_path_factory.mktemp("shapenet_part"))
 
 
 def test_split_tokens(shapenet_tree):
