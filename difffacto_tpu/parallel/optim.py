@@ -40,13 +40,16 @@ def LinearLR(start_epoch, end_epoch, start_lr, end_lr):
 
 @SCHEDULERS.register_module()
 def CustomStepLR(milestone: Sequence[int], gamma: float):
-    """gamma^(number of milestones passed) (schedulers.py:21-28)."""
+    """gamma^(number of milestones passed) (schedulers.py:21-28). The
+    reference uses ``bisect`` (= bisect_right), so the drop applies AT the
+    milestone epoch itself (epoch >= m), golden-tested in
+    tests/test_reference_parity_sched.py."""
     ms = sorted(milestone)
 
     def lr_func(epoch):
         out = 1.0
         for m in ms:
-            out = jnp.where(epoch > m, out * gamma, out)
+            out = jnp.where(epoch >= m, out * gamma, out)
         return out
 
     return lr_func
@@ -74,14 +77,23 @@ def CosineAnnealingLRWithWarmUp(
     T_max: int, eta_min: float = 0.0, warmup_T: int = 10, warmup_lr: float = 1e-6,
     base_lr: float = 1.0,
 ):
-    """Linear warmup to the cosine start value, then closed-form cosine
-    (schedulers.py:31-112, closed form)."""
+    """Linear warmup, then the reference's RECURSIVE cosine
+    (schedulers.py:77-106), faithfully: the warmup interpolates toward the
+    closed-form value AT warmup_T, but the post-warmup recursion rescales
+    from the LAST WARMUP value (epoch warmup_T-1), so the whole cosine tail
+    is multiplied by (warm(warmup_T-1)-eta_min)/(closed(warmup_T-1)-eta_min)
+    — ~0.9 at the shipped geometry, a reference quirk kept as-is and
+    golden-tested in tests/test_reference_parity_sched.py. Valid for
+    epoch <= T_max - warmup_T (the reference's SGDR mirror branch past the
+    first half-period is not modeled)."""
     T = T_max - warmup_T
+    target = eta_min + (base_lr - eta_min) * (1 + math.cos(warmup_T * math.pi / T)) / 2
+    anchor = warmup_lr + (target - warmup_lr) * ((warmup_T - 1) / warmup_T)
+    denom = 1 + math.cos(math.pi * (warmup_T - 1) / T)
 
     def lr_func(epoch):
-        target = eta_min + (base_lr - eta_min) * (1 + jnp.cos(warmup_T * math.pi / T)) / 2
         warm = warmup_lr + (target - warmup_lr) * (epoch / warmup_T)
-        cos = eta_min + (base_lr - eta_min) * (1 + jnp.cos(math.pi * epoch / T)) / 2
+        cos = eta_min + (anchor - eta_min) * (1 + jnp.cos(math.pi * epoch / T)) / denom
         return jnp.where(epoch < warmup_T, warm, cos) / base_lr
 
     return lr_func
