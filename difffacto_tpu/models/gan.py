@@ -133,14 +133,27 @@ def dis_loss(real_scores, fake_scores, kind: str = "wgan"):
     raise ValueError(kind)
 
 
-def gradient_penalty(critic_fn, rng, real, fake, weight: float = 10.0):
-    """WGAN-GP interpolate penalty (metrics/common.py gradient_penalty)."""
-    eps = jax.random.uniform(rng, (real.shape[0],) + (1,) * (real.ndim - 1))
-    interp = real * eps + fake * (1 - eps)
+def gradient_penalty(
+    critic_fn, rng, real, fake, weight: float = 10.0, gp_type: str = "zero_center"
+):
+    """Gradient penalty, both reference flavors (metrics/common.py:47-87;
+    utils/gan_losses.py:68-89 ships zero_center only, and it is the
+    reference GanRunner default).
 
-    def score_sum(x):
-        return critic_fn(x).sum()
-
-    grads = jax.grad(score_sum)(interp)
-    norms = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=-1) + 1e-12)
-    return weight * ((norms - 1.0) ** 2).mean()
+    ``zero_center``: (mean_b ||∇_x d(x_real)||)² · weight — penalizes the
+    critic's gradient norm at REAL samples; note the reference squares the
+    MEAN of per-sample norms, not the per-sample norms.
+    ``interpolated``: standard WGAN-GP on random real/fake interpolates,
+    with the reference's seps=1e-8 inside the sqrt.
+    """
+    if gp_type == "zero_center":
+        grads = jax.grad(lambda x: critic_fn(x).sum())(real)
+        norms = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=-1))
+        return weight * norms.mean() ** 2
+    if gp_type == "interpolated":
+        eps = jax.random.uniform(rng, (real.shape[0],) + (1,) * (real.ndim - 1))
+        interp = real * eps + fake * (1 - eps)
+        grads = jax.grad(lambda x: critic_fn(x).sum())(interp)
+        norms = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=-1) + 1e-8)
+        return weight * ((norms - 1.0) ** 2).mean()
+    raise ValueError(gp_type)

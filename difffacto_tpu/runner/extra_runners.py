@@ -153,6 +153,8 @@ class GanRunner(Runner):
         )
         self.gan_loss_type = cfg.gan_loss_type or "wgan"
         self.gp_weight = cfg.gp_weight if cfg.gp_weight is not None else 10.0
+        # reference GanRunner default (utils/gan_losses.py:68 gp_type kwarg)
+        self.gp_type = getattr(cfg, "gp_type", None) or "zero_center"
         self.n_critic = cfg.n_critic or 5
 
         rng = jax.random.PRNGKey(self.seed)
@@ -168,7 +170,7 @@ class GanRunner(Runner):
 
     def _build_steps(self):
         gen_mod, dis_mod = self.generator, self.discriminator
-        kind, gp_w = self.gan_loss_type, self.gp_weight
+        kind, gp_w, gp_type = self.gan_loss_type, self.gp_weight, self.gp_type
 
         @jax.jit
         def d_step(d_params, d_opt, g_vars, real_codes, rng):
@@ -182,7 +184,8 @@ class GanRunner(Runner):
                 l = dis_loss(real_s, fake_s, kind)
                 if kind == "wgan" and gp_w > 0:
                     l = l + gradient_penalty(
-                        lambda x: dis_mod.apply(dv, x), rng, real_codes, fake, gp_w
+                        lambda x: dis_mod.apply(dv, x), rng, real_codes, fake, gp_w,
+                        gp_type=gp_type,
                     )
                 return l
 
