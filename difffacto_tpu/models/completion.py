@@ -15,28 +15,26 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..nn.layers import TorchBatchNorm
 from ..ops.chamfer import chamfer_l1, chamfer_l2
 from ..utils.registry import DIFFUSIONS, ENCODERS, MODELS, NETS, SAMPLERS, build_from_cfg
 from .anchor_diff import build_diffusion
+from .supseg_encoders import _TwoStage
 
 
 class PCNEncoder(nn.Module):
-    """Shared-MLP + global-feature concat encoder (PCN.py:16-26)."""
+    """Two-stage global encoder shared by the completion family
+    (networks/PCN.py:15-26 first/second_conv incl. BatchNorms, global-first
+    concat; golden parity: tests/test_reference_parity_supseg.py)."""
 
     encoder_channel: int = 1024
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, xyz):
-        h = nn.Dense(128, dtype=self.dtype)(xyz)
-        h = nn.relu(h)
-        h = nn.Dense(256, dtype=self.dtype)(h)
-        g = jnp.max(h, axis=1, keepdims=True)
-        h = jnp.concatenate([h, jnp.broadcast_to(g, h.shape)], axis=-1)
-        h = nn.Dense(512, dtype=self.dtype)(h)
-        h = nn.relu(h)
-        h = nn.Dense(self.encoder_channel, dtype=self.dtype)(h)
-        return jnp.max(h, axis=1)  # (B, C)
+    def __call__(self, xyz, train: bool = False):
+        return _TwoStage(self.encoder_channel, global_first=True, dtype=self.dtype)(
+            xyz, None, train=train
+        )
 
 
 @MODELS.register_module()
@@ -57,7 +55,7 @@ class PCN(nn.Module):
     def __call__(self, partial, train: bool = False):
         """partial (B, Np, 3) -> (coarse (B, num_coarse, 3), fine (B, num_pred, 3))."""
         B = partial.shape[0]
-        feat = PCNEncoder(self.encoder_channel, dtype=self.dtype)(partial)
+        feat = PCNEncoder(self.encoder_channel, dtype=self.dtype)(partial, train=train)
         h = nn.Dense(1024, dtype=self.dtype)(feat)
         h = nn.relu(h)
         h = nn.Dense(1024, dtype=self.dtype)(h)
@@ -66,18 +64,24 @@ class PCN(nn.Module):
             B, self.num_coarse, 3
         )
 
+        # folding seed channel order matches the reference: channel 0 varies
+        # FAST across the g*g grid, channel 1 slow (networks/PCN.py:43-45)
         g = self.grid_size
         lin = jnp.linspace(-0.05, 0.05, g)
-        grid = jnp.stack(jnp.meshgrid(lin, lin, indexing="ij"), -1).reshape(1, 1, g * g, 2)
+        mesh = jnp.meshgrid(lin, lin, indexing="ij")
+        grid = jnp.stack([mesh[1], mesh[0]], -1).reshape(1, 1, g * g, 2)
         grid = jnp.broadcast_to(grid, (B, self.num_coarse, g * g, 2)).reshape(
             B, self.num_pred, 2
         )
         center = jnp.repeat(coarse, g * g, axis=1)  # (B, num_pred, 3)
         feat_pp = jnp.broadcast_to(feat[:, None], (B, self.num_pred, feat.shape[-1]))
-        h = jnp.concatenate([feat_pp, center, grid], axis=-1)
+        # concat order [feat, seed, point_feat] (networks/PCN.py:71)
+        h = jnp.concatenate([feat_pp, grid, center], axis=-1)
         h = nn.Dense(512, dtype=self.dtype)(h)
+        h = TorchBatchNorm(dtype=self.dtype)(h, use_running_average=not train)
         h = nn.relu(h)
         h = nn.Dense(512, dtype=self.dtype)(h)
+        h = TorchBatchNorm(dtype=self.dtype)(h, use_running_average=not train)
         h = nn.relu(h)
         fine = nn.Dense(3, dtype=self.dtype)(h) + center
         return coarse, fine
@@ -95,26 +99,32 @@ class PCN(nn.Module):
 
 @MODELS.register_module()
 class CoarsePCN(nn.Module):
-    """Coarse-only PCN (coarsePCN.py): global code -> num_pred points."""
+    """Coarse-only PCN (coarsePCN.py:5-49): encodes the FULL cloud and
+    regresses ``num_anchors`` coarse points against that same cloud — the
+    reference reads BOTH gt and the encoder input from ``pcds['pointcloud']``
+    (coarsePCN.py:33-34), making this an anchor-pretraining task, not a
+    partial-cloud completer."""
 
-    num_pred: int = 448
+    num_anchors: int = 448
     encoder_channel: int = 1024
     loss: str = "cd_l2"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, partial, train: bool = False):
-        B = partial.shape[0]
-        feat = PCNEncoder(self.encoder_channel, dtype=self.dtype)(partial)
+    def __call__(self, xyz, train: bool = False):
+        B = xyz.shape[0]
+        feat = PCNEncoder(self.encoder_channel, dtype=self.dtype)(xyz, train=train)
         h = nn.Dense(1024, dtype=self.dtype)(feat)
         h = nn.relu(h)
         h = nn.Dense(1024, dtype=self.dtype)(h)
         h = nn.relu(h)
-        return nn.Dense(3 * self.num_pred, dtype=self.dtype)(h).reshape(B, self.num_pred, 3)
+        return nn.Dense(3 * self.num_anchors, dtype=self.dtype)(h).reshape(
+            B, self.num_anchors, 3
+        )
 
     def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
         gt = batch["ref"]
-        coarse = self(batch["input"], train=True)
+        coarse = self(gt, train=True)  # full cloud in AND out (see class doc)
         cd = chamfer_l1 if self.loss == "cd_l1" else chamfer_l2
         return {"coarse_loss": cd(coarse, gt).mean()}
 
@@ -145,14 +155,44 @@ class DiffuCompletion(nn.Module):
         return self.net(x, t, ctx, anchors, variances, seg_mask, valid_id,
                         deterministic=not train)
 
-    def encode(self, partial):
-        return self.partial_encoder(partial)[:, None]  # (B, 1, C)
+    def encode(self, partial, train: bool = False):
+        return self.partial_encoder(partial, train=train)[:, None]  # (B, 1, C)
+
+    def decode(self, code, rng, noise=None):
+        """Reverse chain conditioned on the partial-cloud code (reference
+        completion.py:26-42 ``decode`` via p_sample_loop_progressive):
+        returns dict with 'pred' (B, npoints, 3) and, when ``ret_traj``,
+        every ``ret_interval``-th intermediate under 'traj'."""
+        B = code.shape[0]
+        zeros = jnp.zeros((B, self.npoints, 3), jnp.float32)
+
+        def model_fn(inp, ts, c, anc, var, seg, vid):
+            return self.denoise(inp, ts, c, anc, var, seg, vid, train=False)
+
+        return self.diff.p_sample_loop(
+            model_fn,
+            rng,
+            zeros,
+            ctx=code,
+            seg_mask=jnp.zeros((B, self.npoints), jnp.int32),
+            noise=noise,
+            ret_traj=self.ret_traj,
+            ret_interval=self.ret_interval,
+        )
+
+    def reconstruct(self, batch):
+        """Eval forward (reference completion.py:45-57 else-branch): encode
+        the partial cloud, decode, and return pred/ref/input."""
+        out = self.decode(self.encode(batch["input"]), self.make_rng("sample"))
+        out["ref"] = batch["ref"]
+        out["input"] = batch["input"]
+        return out
 
     def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
         gt = batch["ref"]
         partial = batch["input"]
         B = gt.shape[0]
-        code = self.encode(partial)
+        code = self.encode(partial, train=True)
         t, _ = self.t_sampler.sample(self.make_rng("sample"), B)
 
         def model_fn(inp, ts, c, anc, var, seg, vid):

@@ -44,9 +44,18 @@ class PointNetDenseCls(nn.Module):
 
 
 class ConditionalBatchNorm1d(nn.Module):
-    """CBN: an MLP on a conditioning embedding predicts per-channel
-    delta-beta/gamma added to fixed base parameters (reference:
-    models/modules/cbn.py:11-60)."""
+    """CBN: two separate MLPs on a conditioning embedding predict per-channel
+    delta-gamma/delta-beta added to fixed (non-trainable in the reference)
+    base parameters (reference: models/modules/cbn.py:11-69). Matches the
+    reference's parameter STRUCTURE (fc_gamma and fc_beta each
+    Linear+ReLU+Linear) and its unbiased batch variance (torch.var default).
+
+    The reference's own ``forward`` is broken as shipped — cbn.py:104 builds
+    ``out = feature_normalized, gammas + betas`` (a tuple; the ``*`` was
+    lost) — so this implements the evident intent ``x_hat * gamma + beta``;
+    the delta-prediction path (create_cbn_input) IS runnable and is
+    golden-tested in tests/test_reference_parity_supseg.py, which also pins
+    the tuple defect."""
 
     channels: int
     embed_t_size: int = 128
@@ -61,13 +70,17 @@ class ConditionalBatchNorm1d(nn.Module):
         """x (B, N, C), cond (B, embed_t_size)."""
         betas = self.param("betas", nn.initializers.zeros, (self.channels,))
         gammas = self.param("gammas", nn.initializers.ones, (self.channels,))
-        h = nn.Dense(self.emb_size, dtype=self.dtype)(cond)
-        h = nn.relu(h)
-        h = nn.Dense(2 * self.channels, dtype=self.dtype)(h)
-        d_gamma, d_beta = jnp.split(h, 2, axis=-1)
-        gamma = gammas[None] + (d_gamma if self.use_gammas else 0.0)
-        beta = betas[None] + (d_beta if self.use_betas else 0.0)
+
+        def _mlp(name):
+            h = nn.Dense(self.emb_size, dtype=self.dtype, name=f"{name}_0")(cond)
+            return nn.Dense(self.channels, dtype=self.dtype, name=f"{name}_1")(
+                nn.relu(h)
+            )
+
+        gamma = gammas[None] + (_mlp("fc_gamma") if self.use_gammas else 0.0)
+        beta = betas[None] + (_mlp("fc_beta") if self.use_betas else 0.0)
         mu = x.mean(axis=(0, 1), keepdims=True)
-        var = x.var(axis=(0, 1), keepdims=True)
+        n = x.shape[0] * x.shape[1]
+        var = x.var(axis=(0, 1), keepdims=True) * (n / max(n - 1, 1))
         xhat = (x - mu) * jax.lax.rsqrt(var + self.eps)
         return xhat * gamma[:, None, :] + beta[:, None, :]

@@ -34,9 +34,16 @@ _NEG = -10000.0  # reference masks absent segments with -10000 before max
 class _TwoStage(nn.Module):
     """Dense(128)+BN+ReLU -> Dense(256) -> masked global max -> concat ->
     Dense(512)+BN+ReLU -> Dense(out) -> masked global max. The shared
-    PointNet trunk of Pnet2Stage / SupSegsEncoder / the PCN encoder."""
+    PointNet trunk of Pnet2Stage / SupSegsEncoder / the PCN encoder.
+
+    ``global_first`` pins the reference's INCONSISTENT concat order: pnet.py
+    and PCN.py concatenate [global, local] (pnet.py:31, PCN.py:61) while
+    super_seg_encoder.py concatenates [local, global]
+    (super_seg_encoder.py:47) — the order determines the second-stage
+    weights' input-channel layout under torch ingestion."""
 
     out_dim: int
+    global_first: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -47,8 +54,8 @@ class _TwoStage(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(256, dtype=self.dtype)(h)
         masked = h if neg_mask is None else h + neg_mask[..., None]
-        g = jnp.max(masked, axis=1, keepdims=True)
-        h = jnp.concatenate([h, jnp.broadcast_to(g, h.shape)], axis=-1)
+        g = jnp.broadcast_to(jnp.max(masked, axis=1, keepdims=True), h.shape)
+        h = jnp.concatenate([g, h] if self.global_first else [h, g], axis=-1)
         h = nn.Dense(512, dtype=self.dtype)(h)
         h = TorchBatchNorm(dtype=self.dtype)(h, use_running_average=not train)
         h = nn.relu(h)
@@ -94,7 +101,9 @@ class SupSegsEncoder(nn.Module):
         neg = None
         if mask is not None:
             neg = (1.0 - mask.astype(jnp.float32)) * _NEG
-        g = _TwoStage(1024, dtype=self.dtype)(seg_tokens, neg, train=train)
+        g = _TwoStage(1024, global_first=False, dtype=self.dtype)(
+            seg_tokens, neg, train=train
+        )
         h = nn.relu(nn.Dense(1024, dtype=self.dtype)(g))
         h = nn.relu(nn.Dense(1024, dtype=self.dtype)(h))
         h = nn.Dense(self.part_latent_dim * self.num_anchors, dtype=self.dtype)(h)

@@ -69,14 +69,14 @@ class TestCompletion:
         vs = jax.jit(lambda: model.init(RNGS, partial))()
         coarse, fine = model.apply(vs, partial)
         assert coarse.shape == (2, 4, 3) and fine.shape == (2, 64, 3)
-        losses = model.apply(vs, {"ref": randn(2, 64, 3, seed=2), "input": partial},
-                             method=PCN.loss)
+        losses, _ = model.apply(vs, {"ref": randn(2, 64, 3, seed=2), "input": partial},
+                                method=PCN.loss, mutable=["batch_stats"])
         assert np.isfinite(float(losses["fine_loss"]))
 
     def test_coarse_pcn(self):
         from difffacto_tpu.models import CoarsePCN
 
-        model = CoarsePCN(num_pred=32, encoder_channel=32)
+        model = CoarsePCN(num_anchors=32, encoder_channel=32)
         partial = randn(2, 32, 3)
         vs = jax.jit(lambda: model.init(RNGS, partial))()
         out = model.apply(vs, partial)
@@ -101,11 +101,20 @@ class TestCompletion:
         vs = jax.jit(lambda r, b: model.init(r, b, 0, method=DiffuCompletion.loss))(
             RNGS, batch
         )
-        losses = model.apply(
+        losses, _ = model.apply(
             vs, batch, 0, method=DiffuCompletion.loss,
             rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
         )
         assert np.isfinite(float(losses["mse_loss"]))
+        # eval path: encode -> reverse chain -> pred/ref/input (reference
+        # completion.py:45-57 else-branch)
+        out = model.apply(
+            vs, batch, method=DiffuCompletion.reconstruct,
+            rngs={"sample": jax.random.PRNGKey(5)},
+        )
+        assert out["pred"].shape == (2, 32, 3)
+        assert np.isfinite(np.asarray(out["pred"])).all()
 
 
 class TestEditors:

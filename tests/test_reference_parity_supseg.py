@@ -1,0 +1,406 @@
+"""Golden parity for the supseg/completion encoder family against the
+reference's OWN torch classes: Pnet2Stage (encoders/pnet.py), the PCN part
+encoder (encoders/PCN.py), SupSegsEncoder (encoders/super_seg_encoder.py),
+MeanVarianceRegressor (encoders/mean_variance_regressor.py), the PCN
+completion network (networks/PCN.py), CoarsePCN (networks/coarsePCN.py),
+and ConditionalBatchNorm1d's delta-prediction path (modules/cbn.py).
+
+Also pins three reference defects executed here:
+* cbn.py:89 — CBN.forward crashes for any batch: in-place
+  ``betas_cloned += delta_betas`` broadcasts (C,) += (B, C); the tuple
+  return at cbn.py:104 (the lost ``*`` in ``x_hat * gamma + beta``) is
+  unreachable dead code behind it;
+* super_seg_encoder.py:96 — PartglotSupSegsEncoderWithCBN.forward's first
+  line passes ``t`` to F.relu instead of bn1, so bn1 is called without its
+  required cond argument;
+* part_editing.py:60 — PartLatentEditor unconditionally loads a pickle from
+  a hardcoded absolute /mnt/disk3/... path, so it cannot be built as
+  shipped (its submodules are golden-tested individually in
+  test_reference_parity_modules.py).
+"""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from test_reference_parity import REF_ROOT, _install_reference
+from test_reference_parity_modules import _params_from, _sd
+
+from difffacto_tpu.utils.torch_ingest import TreeFiller, _conv1d_to_dense, _map_linear
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference tree not present"
+)
+
+B, NSEG, NPT = 3, 6, 32
+
+
+def _seed_bn_stats(mod):
+    with torch.no_grad():
+        for m in mod.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+
+def _map_bn(sd, fill, tkey, jpath):
+    for tname, jname, col in (
+        ("weight", "scale", "params"),
+        ("bias", "bias", "params"),
+        ("running_mean", "mean", "batch_stats"),
+        ("running_var", "var", "batch_stats"),
+    ):
+        fill.put(col, f"{jpath}/BatchNorm_0/{jname}", np.asarray(sd.pop(f"{tkey}.{tname}")))
+    sd.pop(f"{tkey}.num_batches_tracked", None)
+
+
+def _map_conv(sd, fill, tkey, jpath):
+    fill.put("params", f"{jpath}/kernel", _conv1d_to_dense(sd.pop(f"{tkey}.weight")))
+    fill.put("params", f"{jpath}/bias", np.asarray(sd.pop(f"{tkey}.bias")))
+
+
+def _map_two_stage(sd, fill, tp_first, tp_second, jp):
+    """first_conv/second_conv Sequential(Conv,BN,ReLU,Conv) pairs ->
+    _TwoStage{Dense_0,BN_0,Dense_1,Dense_2,BN_1,Dense_3}."""
+    _map_conv(sd, fill, f"{tp_first}.0", f"{jp}/Dense_0")
+    _map_bn(sd, fill, f"{tp_first}.1", f"{jp}/TorchBatchNorm_0")
+    _map_conv(sd, fill, f"{tp_first}.3", f"{jp}/Dense_1")
+    _map_conv(sd, fill, f"{tp_second}.0", f"{jp}/Dense_2")
+    _map_bn(sd, fill, f"{tp_second}.1", f"{jp}/TorchBatchNorm_1")
+    _map_conv(sd, fill, f"{tp_second}.3", f"{jp}/Dense_3")
+
+
+def _map_latent_mlp(sd, fill, tp, jp, idxs=(0, 2, 4), dense_start=0):
+    for di, ti in enumerate(idxs):
+        _map_linear(sd, fill, f"{tp}.{ti}", f"{jp}/Dense_{dense_start + di}")
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def test_pnet2stage_parity():
+    """encoders/pnet.py:5-33 — incl. the GLOBAL-FIRST concat order of the
+    second stage (pnet.py:31), opposite to super_seg_encoder.py:47."""
+    _install_reference()
+    from difffacto.models.encoders.pnet import Pnet2Stage as RefPnet
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from difffacto_tpu.models import Pnet2Stage
+
+    torch.manual_seed(0)
+    ref = RefPnet(latent_dim=64, point_dim=3).eval()
+    _seed_bn_stats(ref)
+
+    ours = Pnet2Stage(latent_dim=64, point_dim=3)
+    x = _rand((B, NPT, 3), 1)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapper(sd, fill):
+        _map_two_stage(sd, fill, "first_conv", "second_conv", "_TwoStage_0")
+
+    V = _params_from(variables, mapper, _sd(ref))
+    got = np.asarray(ours.apply(V, jnp.asarray(x)))
+    want = ref(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_pcn_part_encoder_parity(normalize):
+    """encoders/PCN.py:6-67 (ENCODERS 'PCN'): per-part latents + optional
+    F.normalize."""
+    _install_reference()
+    from difffacto.models.encoders.PCN import PCN as RefPCNEnc
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from difffacto_tpu.models.supseg_encoders import PCNPartEncoder
+
+    torch.manual_seed(1)
+    ref = RefPCNEnc(point_dim=3, part_latent_dim=32, num_anchors=4,
+                    normalize_latent=normalize).eval()
+    _seed_bn_stats(ref)
+
+    ours = PCNPartEncoder(point_dim=3, part_latent_dim=32, num_anchors=4,
+                          normalize_latent=normalize)
+    x = _rand((B, NPT, 3), 2)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapper(sd, fill):
+        _map_two_stage(sd, fill, "first_conv", "second_conv", "_TwoStage_0")
+        _map_latent_mlp(sd, fill, "latent_mlp", "", idxs=(0, 2, 4))
+
+    V = _params_from(variables, mapper, _sd(ref))
+    got = np.asarray(ours.apply(V, jnp.asarray(x)))
+    want = ref(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_supsegs_encoder_parity():
+    """super_seg_encoder.py:8-77 — per-segment PointNet pooling, masked
+    two-stage (LOCAL-first concat, super_seg_encoder.py:47), latent MLP."""
+    _install_reference()
+    from difffacto.models.encoders.super_seg_encoder import SupSegsEncoder as RefSup
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from difffacto_tpu.models import SupSegsEncoder
+
+    torch.manual_seed(2)
+    ref = RefSup(sup_segs_dim=16, part_latent_dim=24, num_anchors=4).eval()
+    _seed_bn_stats(ref)
+
+    ours = SupSegsEncoder(sup_segs_dim=16, part_latent_dim=24, num_anchors=4)
+    x = _rand((B, NSEG, NPT, 3), 3)
+    mask = (np.arange(NSEG)[None] < np.asarray([6, 4, 3])[:, None])
+    variables = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask, np.float32)
+    )
+
+    def mapper(sd, fill):
+        for i in range(4):
+            _map_conv(sd, fill, f"sup_seg_enc.conv{i + 1}.0",
+                      f"PartglotSupSegsEncoderBase_0/Dense_{i}")
+            _map_bn(sd, fill, f"sup_seg_enc.conv{i + 1}.1",
+                    f"PartglotSupSegsEncoderBase_0/TorchBatchNorm_{i}")
+        _map_conv(sd, fill, "sup_seg_enc.fc", "PartglotSupSegsEncoderBase_0/Dense_4")
+        _map_two_stage(sd, fill, "first_conv", "second_conv", "_TwoStage_0")
+        _map_latent_mlp(sd, fill, "latent_mlp", "", idxs=(0, 2, 4))
+
+    V = _params_from(variables, mapper, _sd(ref))
+    got = np.asarray(ours.apply(V, jnp.asarray(x), jnp.asarray(mask, np.float32)))
+    want = ref(torch.from_numpy(x), torch.from_numpy(mask)).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_mean_variance_regressor_parity():
+    """encoders/mean_variance_regressor.py:6-41 — shared Dense stacks with
+    PER-CLASS BatchNorms, separate mean/var towers."""
+    _install_reference()
+    from difffacto.models.encoders.mean_variance_regressor import (
+        MeanVarianceRegressor as RefMVR,
+    )
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from difffacto_tpu.models import MeanVarianceRegressor
+
+    K = 4
+    torch.manual_seed(3)
+    ref = RefMVR(latent_dim=32, num_class=K).eval()
+    _seed_bn_stats(ref)
+
+    ours = MeanVarianceRegressor(latent_dim=32, num_class=K)
+    x = _rand((B, K, 32), 4)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapper(sd, fill):
+        for side, jside in (("m", "mean"), ("v", "var")):
+            for li in range(3):
+                _map_linear(sd, fill, f"fc{li + 1}_{side}", f"{jside}/Dense_{li}")
+                for k in range(K):
+                    _map_bn(sd, fill, f"fc_bn{li + 1}_{side}.{k}",
+                            f"{jside}/TorchBatchNorm_{li * K + k}")
+            _map_linear(sd, fill, f"fc4_{side}", f"{jside}/Dense_3")
+
+    V = _params_from(variables, mapper, _sd(ref))
+    got_m, got_v = ours.apply(V, jnp.asarray(x))
+    want_m, want_v = ref(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(got_m), want_m.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_v), want_v.detach().numpy(), atol=2e-5)
+
+
+def test_pcn_completion_network_parity():
+    """networks/PCN.py:5-80 (MODELS 'PCN'): coarse MLP + folding decoder,
+    incl. the fast/slow folding-seed channel order (PCN.py:43-45) and the
+    [feat, seed, point_feat] concat (PCN.py:71)."""
+    _install_reference()
+    from difffacto.models.networks.PCN import PCN as RefPCN
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from difffacto_tpu.models.completion import PCN
+
+    # reference defect pinned below: final_conv hardcodes 1024+3+2 input
+    # channels (PCN.py:36), so the reference only runs at encoder_channel=1024
+    torch.manual_seed(4)
+    ref = RefPCN(num_pred=64, encoder_channel=1024, loss=dict(type="L2Loss")).eval()
+    _seed_bn_stats(ref)
+
+    ours = PCN(num_pred=64, encoder_channel=1024)
+    x = _rand((B, NPT, 3), 5)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapper(sd, fill):
+        _map_two_stage(sd, fill, "first_conv", "second_conv", "PCNEncoder_0/_TwoStage_0")
+        _map_latent_mlp(sd, fill, "mlp", "", idxs=(0, 2, 4))
+        _map_conv(sd, fill, "final_conv.0", "Dense_3")
+        _map_bn(sd, fill, "final_conv.1", "TorchBatchNorm_0")
+        _map_conv(sd, fill, "final_conv.3", "Dense_4")
+        _map_bn(sd, fill, "final_conv.4", "TorchBatchNorm_1")
+        _map_conv(sd, fill, "final_conv.6", "Dense_5")
+
+    V = _params_from(variables, mapper, _sd(ref))
+    got_coarse, got_fine = ours.apply(V, jnp.asarray(x))
+    out = ref(None, torch.from_numpy(x), "cpu")
+    np.testing.assert_allclose(
+        np.asarray(got_coarse), out["coarse_pred"].detach().numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_fine), out["pred"].detach().numpy(), atol=2e-5
+    )
+
+
+def test_reference_pcn_encoder_channel_defect_pinned():
+    """networks/PCN.py:36 hardcodes Conv1d(1024+3+2, ...) for final_conv, so
+    any encoder_channel != 1024 crashes the reference forward. Ours infers
+    the width; if a fixed reference lands, cross-check non-1024 widths."""
+    _install_reference()
+    from difffacto.models.networks.PCN import PCN as RefPCN
+
+    torch.manual_seed(4)
+    ref = RefPCN(num_pred=64, encoder_channel=128, loss=dict(type="L2Loss")).eval()
+    with pytest.raises(RuntimeError):
+        ref(None, torch.randn(2, NPT, 3), "cpu")
+
+
+def test_coarse_pcn_parity():
+    """networks/coarsePCN.py:5-49 — and its quirk: gt AND encoder input are
+    BOTH pcds['pointcloud'] (coarsePCN.py:33-34), an anchor-pretrainer."""
+    _install_reference()
+    from difffacto.models.networks.coarsePCN import CoarsePCN as RefCoarse
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from difffacto_tpu.models import CoarsePCN
+
+    torch.manual_seed(5)
+    ref = RefCoarse(num_anchors=8, encoder_channel=128, loss=dict(type="L2Loss")).eval()
+    _seed_bn_stats(ref)
+
+    ours = CoarsePCN(num_anchors=8, encoder_channel=128)
+    x = _rand((B, NPT, 3), 6)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def mapper(sd, fill):
+        _map_two_stage(sd, fill, "first_conv", "second_conv", "PCNEncoder_0/_TwoStage_0")
+        _map_latent_mlp(sd, fill, "mlp", "", idxs=(0, 2, 4))
+
+    V = _params_from(variables, mapper, _sd(ref))
+    got = np.asarray(ours.apply(V, jnp.asarray(x)))
+    out = ref({"pointcloud": torch.from_numpy(x)}, "cpu")
+    np.testing.assert_allclose(got, out["pred"].detach().numpy(), atol=2e-5)
+
+
+def test_cbn_delta_prediction_parity_and_forward_defect():
+    """modules/cbn.py: the delta-beta/gamma MLPs ARE runnable — golden-test
+    them under ingested weights — while forward itself returns a tuple
+    (cbn.py:104, the lost ``*``), pinned here."""
+    _install_reference()
+    from difffacto.models.modules.cbn import ConditionalBatchNorm1d as RefCBN
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from difffacto_tpu.models.segmentor import ConditionalBatchNorm1d
+    from difffacto_tpu.nn.layers import timestep_embedding
+
+    C, ET, EM = 12, 16, 24
+    torch.manual_seed(6)
+    ref = RefCBN(C, embed_t_size=ET, emb_size=EM).eval()
+
+    ours = ConditionalBatchNorm1d(C, embed_t_size=ET, emb_size=EM)
+    t = np.asarray([3.0, 17.0, 40.0], np.float32)
+    x = _rand((3, NPT, C), 7)
+    cond = timestep_embedding(jnp.asarray(t), ET)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), cond)
+
+    params = copy.deepcopy(jax.device_get(variables["params"]))
+    fill = TreeFiller(params, {})
+    sd = _sd(ref)
+    for tp, jp in (("fc_gamma", "fc_gamma"), ("fc_beta", "fc_beta")):
+        _map_linear(sd, fill, f"{tp}.0", f"{jp}_0")
+        _map_linear(sd, fill, f"{tp}.2", f"{jp}_1")
+    params["betas"] = np.asarray(sd.pop("betas"))
+    params["gammas"] = np.asarray(sd.pop("gammas"))
+    assert not sd, f"unmapped: {sorted(sd)}"
+
+    # delta-prediction parity (create_cbn_input, cbn.py:57-68)
+    d_beta, d_gamma = ref.create_cbn_input(torch.from_numpy(t))
+    got = ours.apply({"params": params}, jnp.asarray(x), cond)
+    # rebuild the intended output from the reference's own deltas
+    xt = torch.from_numpy(x).transpose(2, 1)  # reference layout (B, C, N)
+    mu = xt.mean(dim=(0, 2), keepdim=True)
+    var = xt.var(dim=(0, 2), keepdim=True)
+    xhat = (xt - mu) / torch.sqrt(var + ref.eps)
+    gamma = (ref.gammas + d_gamma).unsqueeze(2)
+    beta = (ref.betas + d_beta).unsqueeze(2)
+    want = (xhat * gamma + beta).transpose(2, 1).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    # the defect: reference forward crashes at cbn.py:89 — the in-place
+    # ``betas_cloned += delta_betas`` broadcasts (C,) += (B, C), which torch
+    # rejects for ANY batch size; the tuple-return at cbn.py:104 (the lost
+    # ``*``) is therefore unreachable dead code.
+    with pytest.raises(RuntimeError):
+        ref(torch.from_numpy(x).transpose(2, 1), torch.from_numpy(t))
+
+
+def test_reference_cbn_encoder_forward_broken_as_shipped():
+    """super_seg_encoder.py:96 — ``F.relu(self.bn1(self.conv1(x)), t)``
+    calls bn1 without its required cond argument -> TypeError."""
+    _install_reference()
+    from difffacto.models.encoders.super_seg_encoder import (
+        PartglotSupSegsEncoderWithCBN as RefCBNEnc,
+    )
+
+    torch.manual_seed(7)
+    ref = RefCBNEnc(sup_segs_dim=8).eval()
+    with pytest.raises(TypeError):
+        ref(torch.randn(2, 16, 3), torch.tensor([1.0, 2.0]))
+
+
+def test_reference_part_latent_editor_unbuildable_as_shipped():
+    """part_editing.py:60 loads word2int.pkl from a hardcoded absolute
+    /mnt/disk3/... path unconditionally in __init__."""
+    _install_reference()
+    from difffacto.models.networks.part_editing import PartLatentEditor
+
+    with pytest.raises((FileNotFoundError, OSError)):
+        PartLatentEditor(
+            text_dim=8, embedding_dim=8, part_latent_dim=8,
+            language_encoder=dict(type="LSTM"), latent_language_fuser=dict(),
+            classifier_encoder=dict(type="LSTM"), pcd_encoder=dict(),
+            pcd_mixer=dict(), cross_attention=dict(), loss=dict(type="L2Loss"),
+            num_part_latent=4, pcd_encoder_ckpt_path="/nonexistent",
+            pcd_mixer_ckpt_path="/nonexistent", attn_encoder_ckpt_path="/nonexistent",
+            classifier_encoder_ckpt_path="/nonexistent",
+            listener_mlp_ckpt_path="/nonexistent", out_dim=8,
+            direction_loss=dict(type="L2Loss"), magnitude_loss=dict(type="L2Loss"),
+            logit_loss=dict(type="L2Loss"),
+        )
