@@ -271,7 +271,13 @@ class AnchorDiffGenSuperSegments(AnchorDiffAE):
 @MODELS.register_module()
 class Aligner(nn.Module):
     """Standalone parameter regressor (networks/parameter_regressor.py:12-60):
-    encoder codes -> per-part 6-dof params, gaussian-likelihood fit loss."""
+    encoder codes -> per-part 6-dof params, gaussian-likelihood fit loss.
+
+    The reference's own ``forward`` is broken as shipped: it feeds channel-
+    last ``ref`` (B, N, 3) against channel-FIRST per-point params (B, 3, N)
+    (parameter_regressor.py:43), a broadcast error for any N != 3 — pinned
+    in tests/test_reference_parity_supseg.py, which golden-tests the
+    runnable encoder+regressor path and the evident intended loss."""
 
     encoder: dict
     n_class: int = 4
@@ -283,7 +289,8 @@ class Aligner(nn.Module):
         )
         self.regressor = MLP([512, 512, 512, 512, 64, 6], dtype=self.dtype)
 
-    def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
+    def regress(self, batch, train: bool = False):
+        """Codes -> per-part (B, K, 6) params and per-sample fit loss (B,)."""
         from ..models.part_encoder import gather_per_point
         from ..utils.gaussian import gaussian_log_likelihood
 
@@ -293,7 +300,7 @@ class Aligner(nn.Module):
         valid_id = batch["present"]
         B = ref.shape[0]
         codes = self.encoder_mod(
-            jnp.concatenate([ref, seg_flag], axis=-1), train=True
+            jnp.concatenate([ref, seg_flag], axis=-1), train=train
         )
         if isinstance(codes, tuple):
             codes = codes[0]
@@ -304,6 +311,21 @@ class Aligner(nn.Module):
         flag_pp = gather_per_point(valid_id[..., None], seg_mask)[..., 0]
         ll = -gaussian_log_likelihood(ref, mean_pp, logvar_pp).mean(-1)
         fit = (ll * flag_pp).sum(-1) / flag_pp.sum(-1)
+        return params, fit
+
+    def predict_params(self, batch):
+        """Eval branch (parameter_regressor.py:60): per-part mean/logvar plus
+        the per-sample fit loss, keyed like the reference's result tuple."""
+        params, fit = self.regress(batch, train=False)
+        return {
+            "index": batch.get("id"),
+            "mean": params[..., :3],
+            "logvar": params[..., 3:],
+            "loss": fit,
+        }
+
+    def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
+        _, fit = self.regress(batch, train=True)
         return {"fit_loss": fit.mean()}
 
 

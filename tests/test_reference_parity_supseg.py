@@ -385,6 +385,122 @@ def test_reference_cbn_encoder_forward_broken_as_shipped():
         ref(torch.randn(2, 16, 3), torch.tensor([1.0, 2.0]))
 
 
+def test_aligner_regressor_parity_and_forward_defect():
+    """networks/parameter_regressor.py:12-60: golden-test the RUNNABLE
+    encoder+regressor path (codes -> per-part 6-dof params) and the evident
+    intended fit loss, then pin the defect that makes the reference's own
+    forward unrunnable: it feeds channel-last ref (B, N, 3) against
+    channel-first per-point params (B, 3, N) (parameter_regressor.py:43),
+    a broadcast RuntimeError for any N != 3."""
+    _install_reference()
+    from difffacto.models.networks.parameter_regressor import Aligner as RefAligner
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from test_reference_parity_modules import _map_fc_head, _map_pointnet_stack
+    from difffacto_tpu.models.editors import Aligner
+
+    K, Z, N = 4, 16, NPT
+    torch.manual_seed(8)
+    ref = RefAligner(
+        encoder=dict(type="PointNet", point_dim=3 + K, zdim=Z, num_anchors=K),
+        n_class=K,
+    ).eval()
+    _seed_bn_stats(ref)
+
+    ours = Aligner(encoder=dict(type="PointNet", point_dim=3 + K, zdim=Z), n_class=K)
+    rng = np.random.RandomState(9)
+    x = rng.randn(B, N, 3).astype(np.float32)
+    seg = rng.randint(0, K, (B, N)).astype(np.int32)
+    onehot = np.eye(K, dtype=np.float32)[seg]
+    present = np.ones((B, K), np.float32)
+    batch = {
+        "ref": jnp.asarray(x),
+        "ref_seg_mask": jnp.asarray(seg),
+        "ref_attn_map": jnp.asarray(onehot),
+        "present": jnp.asarray(present),
+        "id": jnp.arange(B),
+    }
+    variables = ours.init(
+        jax.random.PRNGKey(0), batch, method=Aligner.predict_params
+    )
+
+    def mapper(sd, fill):
+        enc = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
+        for k in list(sd):
+            if k.startswith("encoder."):
+                sd.pop(k)
+        for k in list(enc):  # our PointNet owns only the m head
+            if "_v." in k:
+                enc.pop(k)
+        _map_pointnet_stack(enc, fill, "", "encoder_mod/pnet")
+        _map_fc_head(enc, fill, "m", "encoder_mod/mlp_m", linear=True)
+        assert not [k for k in enc if not k.endswith("num_batches_tracked")]
+        for di, ti in enumerate((0, 2, 4, 6, 8, 10)):
+            _map_linear(sd, fill, f"regressor.{ti}", f"regressor/Dense_{di}")
+
+    V = _params_from(variables, mapper, _sd(ref))
+    out = ours.apply(V, batch, method=Aligner.predict_params)
+
+    # golden: reference's own encoder + regressor submodules
+    with torch.no_grad():
+        inp = torch.from_numpy(np.concatenate([x, onehot], -1))
+        codes = ref.encoder(inp).reshape(B, K, -1)
+        ref_params = ref.regressor(codes)
+    np.testing.assert_allclose(
+        np.asarray(out["mean"]), ref_params[..., :3].numpy(), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logvar"]), ref_params[..., 3:].numpy(), atol=3e-5
+    )
+
+    # intended fit loss rebuilt from the reference's params (transposed the
+    # way parameter_regressor.py:41-44 evidently meant)
+    from difffacto.utils.misc import gaussian_log_likelihood as ref_gll
+
+    mean_pp = ref_params[..., :3].numpy()[np.arange(B)[:, None], seg]  # (B,N,3)
+    logvar_pp = ref_params[..., 3:].numpy()[np.arange(B)[:, None], seg]
+    ll = -ref_gll(
+        torch.from_numpy(x), torch.from_numpy(mean_pp), torch.from_numpy(logvar_pp)
+    ).mean(-1)
+    flag = present[np.arange(B)[:, None], seg]
+    want_fit = (ll.numpy() * flag).sum(-1) / flag.sum(-1)
+    np.testing.assert_allclose(np.asarray(out["loss"]), want_fit, rtol=1e-4)
+
+    # the defect: the reference's own forward crashes on any real cloud
+    ref.train()
+    pcds = {
+        "ref": torch.from_numpy(x),
+        "ref_seg_mask": torch.from_numpy(seg),
+        "ref_attn_map": torch.from_numpy(onehot),
+        "present": torch.from_numpy(present),
+        "id": torch.arange(B),
+    }
+    with pytest.raises(RuntimeError):
+        ref(pcds, device="cpu")
+
+
+def test_reference_partglot_classifier_unbuildable_as_shipped():
+    """listener.py:14 — PartglotClassifier loads word2int.pkl from the same
+    hardcoded absolute /mnt/disk3/... path as PartLatentEditor, so the
+    listener cannot be built as shipped either (our models/editors.py
+    PartglotClassifier takes the part-name token ids as config instead)."""
+    _install_reference()
+    from difffacto.models.networks.listener import PartglotClassifier
+
+    with pytest.raises((FileNotFoundError, OSError)):
+        PartglotClassifier(
+            text_dim=8, embedding_dim=8, classifier_encoder=dict(type="LSTM"),
+            pcd_encoder=dict(), pcd_mixer=dict(), cross_attention=dict(),
+            loss=dict(type="L2Loss"), num_part_latent=4,
+            pcd_encoder_ckpt_path="/nonexistent",
+            pcd_mixer_ckpt_path="/nonexistent", out_dim=8,
+        )
+
+
 def test_reference_part_latent_editor_unbuildable_as_shipped():
     """part_editing.py:60 loads word2int.pkl from a hardcoded absolute
     /mnt/disk3/... path unconditionally in __init__."""
