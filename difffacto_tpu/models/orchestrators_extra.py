@@ -24,6 +24,7 @@ from ..utils.registry import (
     DECOMPOSERS,
     DIFFUSIONS,
     ENCODERS,
+    METRICS,
     MODELS,
     NETS,
     SAMPLERS,
@@ -97,74 +98,197 @@ class PDM(nn.Module):
 
 @MODELS.register_module()
 class AnchoredGeneration(nn.Module):
-    """Unconditional anchored generation (anchor_gen_uncond.py:12-269):
-    sample a global latent, decompose into anchors + part latents, decode
-    with the anchored diffusion."""
+    """Unconditional anchored generation (anchor_gen_uncond.py:12-269),
+    VAE-style: encoder + MeanVarianceRegressor give a per-part posterior,
+    z is reparameterized with a prior loss, the decomposer yields
+    (global code, anchors, part latents), optional classifier-free-guidance
+    dropout masks the latents, and the anchored diffusion trains with the
+    global code as the single ctx token and the per-point part latent
+    concatenated onto the denoiser input (anchor_gen_uncond.py:208-239).
 
+    Reference defect (anchor_gen_uncond.py:213-214): ``gaussian_entropy`` is
+    called without ``dim``, summing logvar over the ANCHOR axis, and
+    ``-log_pz - entropy`` then broadcasts (B, K) against (B, C) — a crash
+    for any latent_dim != num_anchors. We implement the evident intent
+    (entropy over the latent axis). Pinned in
+    tests/test_reference_parity_supseg.py.
+    """
+
+    encoder: dict
     decomposer: dict
+    parameter_regressor: dict
     diffusion: dict
     sampler: dict
     num_anchors: int
     num_timesteps: int
     npoints: int = 2048
-    latent_dim: int = 256
+    anchor_loss_weight: float = 1.0
+    loss: Optional[dict] = None  # METRICS cfg for the anchor loss
+    include_attn_weight_in_encoder: bool = True
+    guidance: bool = False
+    part_latent_dropout_prob: float = 0.2
+    global_latent_dropout_prob: float = 0.2
+    kl_weight: float = 1e-3
     ret_traj: bool = False
     ret_interval: int = 20
+    forward_sample: bool = False
+    fix_part: bool = False
+    save_pred_xstart: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.decomposer_mod = build_from_cfg(dict(self.decomposer), DECOMPOSERS, dtype=self.dtype)
-        self.net = build_from_cfg(dict(self.diffusion["net"]), NETS, dtype=self.dtype)
-        self.diff = build_diffusion(self.diffusion, self.num_timesteps)
+        self.encoder_mod = build_from_cfg(
+            dict(self.encoder), ENCODERS, num_anchors=self.num_anchors,
+            dtype=self.dtype,
+        )
+        self.param_regressor_mod = build_from_cfg(
+            dict(self.parameter_regressor), ENCODERS, num_class=self.num_anchors,
+            dtype=self.dtype,
+        )
+        self.decomposer_mod = build_from_cfg(
+            dict(self.decomposer), DECOMPOSERS, num_anchors=self.num_anchors,
+            point_dim=3, dtype=self.dtype,
+        )
+        dcfg = dict(self.diffusion)
+        dcfg["learn_variance"] = False  # forced in the reference constructor
+        self.net = build_from_cfg(dict(dcfg.pop("net")), NETS, dtype=self.dtype)
+        self.diff = build_diffusion(dcfg, self.num_timesteps)
         self.t_sampler = build_from_cfg(
             dict(self.sampler), SAMPLERS, num_timesteps=self.num_timesteps
         )
+        lcfg = self.loss if isinstance(self.loss, dict) else None
+        self.anchor_loss_func = build_from_cfg(dict(lcfg), METRICS) if lcfg else None
 
-    def denoise(self, x, t, ctx, anchors, variances, seg_mask, valid_id, train: bool = False):
-        return self.net(
-            x, t, ctx, anchors, variances, seg_mask, valid_id, deterministic=not train
-        )
+    @property
+    def points_per_anchor(self):
+        return self.npoints // self.num_anchors
 
-    def decompose(self, part_latent, train: bool = False):
-        """(B, K, C) -> (anchors (B, K, 3), mixed latents)."""
-        _, anchors, mixed = self.decomposer_mod(part_latent, train=train)
-        return anchors, mixed
+    def _model_fn(self, pointwise_latent, code, train: bool = False):
+        """Per-point latent concatenated onto x_t; global code as one ctx
+        token (the reference threads them through AnchoredDiffusion's
+        code/pointwise_latent kwargs)."""
+        ctx_tok = code[:, None, :]
 
-    def sample_latents(self, sample_num: int):
-        z = jax.random.normal(
-            self.make_rng("sample"), (sample_num, self.num_anchors, self.latent_dim)
-        )
-        anchors, mixed = self.decompose(z, train=False)
-        pts_per = self.npoints // self.num_anchors
-        seg_mask = jnp.repeat(
-            jnp.arange(self.num_anchors, dtype=jnp.int32)[None], sample_num, axis=0
-        )
-        seg_mask = jnp.repeat(seg_mask, pts_per, axis=1)
-        from .part_encoder import gather_per_point
+        def fn(inp, ts, c, anc, var, seg, vid):
+            h = jnp.concatenate([inp, pointwise_latent.astype(inp.dtype)], axis=-1)
+            return self.net(h, ts, ctx_tok, anc, var, seg, vid, deterministic=not train)
 
-        anchor_pp = gather_per_point(anchors, seg_mask)
-        return mixed, anchor_pp, seg_mask
+        return fn
+
+    def encode_posterior(self, batch, train: bool = False):
+        """Encoder + regressor -> per-part (means, logvars) (B, K, C)."""
+        x = batch["input"]
+        if self.include_attn_weight_in_encoder:
+            x = jnp.concatenate([x, batch["attn_map"]], axis=-1)
+        part_latent = self.encoder_mod(x, train=train)
+        return self.param_regressor_mod(part_latent, train=train)
+
+    def decompose(self, z, train: bool = False):
+        """(B, K, C) -> (global code, anchors (B, K, 3), mixed latents)."""
+        return self.decomposer_mod(z, train=train)
 
     def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
-        ref = batch["ref"]
-        B = ref.shape[0]
-        z = jax.random.normal(
-            self.make_rng("sample"), (B, self.num_anchors, self.latent_dim)
+        from ..utils.gaussian import (
+            gaussian_entropy,
+            reparameterize_gaussian,
+            standard_normal_logprob,
         )
-        anchors, mixed = self.decompose(z, train=True)
-        seg_mask = batch["ref_seg_mask"].astype(jnp.int32)
         from .part_encoder import gather_per_point
 
-        anchor_pp = gather_per_point(anchors, seg_mask)
+        ref = batch["ref"]
+        seg_mask = batch["seg_mask"].astype(jnp.int32)
+        B = ref.shape[0]
+
+        means, logvars = self.encode_posterior(batch, train=True)
+        z = reparameterize_gaussian(self.make_rng("sample"), means, logvars)
+        log_pz = standard_normal_logprob(z).sum(-1)      # (B, K)
+        entropy = gaussian_entropy(logvars, axis=-1)     # (B, K) — see class doc
+        prior_loss = self.kl_weight * (-log_pz - entropy).mean()
+
+        global_feature, anchors, part_latent = self.decompose(z, train=True)
+        if self.guidance:
+            keep = (
+                jax.random.uniform(self.make_rng("sample"), part_latent.shape[:-1])
+                >= self.part_latent_dropout_prob
+            )
+            part_latent = part_latent * keep[..., None]
+            gkeep = (
+                jax.random.uniform(self.make_rng("sample"), (B,))
+                >= self.global_latent_dropout_prob
+            )
+            global_feature = global_feature * gkeep[:, None]
+
         t, _ = self.t_sampler.sample(self.make_rng("sample"), B)
-
-        def model_fn(inp, ts, c, anc, var, seg, vid):
-            return self.denoise(inp, ts, c, anc, var, seg, vid, train=True)
-
-        return self.diff.training_losses(
-            model_fn, self.make_rng("sample"), ref, t, anchors=anchor_pp,
-            ctx=mixed, seg_mask=seg_mask,
+        latent_pp = gather_per_point(part_latent, seg_mask)
+        anchor_pp = gather_per_point(anchors, seg_mask)
+        base_anchor = (
+            self.anchor_loss_func(anchor_pp, ref)
+            if self.anchor_loss_func is not None
+            else ((anchor_pp - ref) ** 2).sum(-1).mean()
         )
+        anchor_loss = self.anchor_loss_weight * base_anchor
+
+        model_fn = self._model_fn(latent_pp, global_feature, train=True)
+        diff_losses = self.diff.training_losses(
+            model_fn, self.make_rng("sample"), ref, t, anchors=anchor_pp,
+        )
+        out = {k: v for k, v in diff_losses.items()}
+        out["prior_loss"] = prior_loss
+        out["anchor_loss"] = anchor_loss
+        return out
+
+    def sample_latents(self, sample_num: int, fix_part: bool = False,
+                       anchor_id: int = 0):
+        """z ~ N(0,1) -> (global code, per-point anchors/latents, seg mask)
+        (anchor_gen_uncond.py:241-259, incl. the fix_part variant that
+        shares one z across the batch except one anchor slot)."""
+        C = int(self.encoder["part_latent_dim"])
+        if fix_part or self.fix_part:
+            base = jax.random.normal(
+                self.make_rng("sample"), (1, self.num_anchors, C)
+            )
+            z = jnp.repeat(base, sample_num, axis=0)
+            z = z.at[:, anchor_id].set(
+                jax.random.normal(self.make_rng("sample"), (sample_num, C))
+            )
+        else:
+            z = jax.random.normal(
+                self.make_rng("sample"), (sample_num, self.num_anchors, C)
+            )
+        global_feature, anchors, part_latent = self.decompose(z, train=False)
+        pp = self.points_per_anchor
+        anchor_pp = jnp.repeat(anchors, pp, axis=1)      # (B, npoints, 3)
+        latent_pp = jnp.repeat(part_latent, pp, axis=1)  # (B, npoints, C)
+        seg_mask = jnp.broadcast_to(
+            jnp.repeat(jnp.arange(self.num_anchors, dtype=jnp.int32), pp)[None],
+            (sample_num, self.npoints),
+        )
+        return global_feature, anchors, anchor_pp, latent_pp, seg_mask
+
+    def predict(self, batch) -> Dict[str, jnp.ndarray]:
+        """Eval forward (anchor_gen_uncond.py:241-269): decode sampled
+        latents (or forward-chain visualization)."""
+        B = batch["ref"].shape[0]
+        global_feature, anchors, anchor_pp, latent_pp, seg_mask = (
+            self.sample_latents(B)
+        )
+        if self.forward_sample:
+            traj = self.diff.q_sample_loop(
+                self.make_rng("sample"), batch["ref"], anchor_pp
+            )
+            out = {"pred": batch["ref"], "traj": traj}
+        else:
+            model_fn = self._model_fn(latent_pp, global_feature, train=False)
+            out = self.diff.p_sample_loop(
+                model_fn, self.make_rng("sample"), anchor_pp,
+                ret_traj=self.ret_traj, ret_interval=self.ret_interval,
+            )
+        out["anchors"] = anchors
+        out["assigned_anchor"] = anchor_pp
+        out["seg_mask"] = seg_mask
+        out["input"] = batch["input"]
+        out["input_ref"] = batch["ref"]
+        return out
 
 
 @MODELS.register_module()

@@ -483,6 +483,88 @@ def test_aligner_regressor_parity_and_forward_defect():
         ref(pcds, device="cpu")
 
 
+def test_reference_anchored_generation_broken_as_shipped():
+    """networks/anchor_gen_uncond.py:12-269 — the unconditional orchestrator
+    is unrunnable as shipped, three independent ways:
+
+    1. with ``PointDiffusion`` the constructor itself crashes: the network
+       force-passes ``learn_variance=False`` (anchor_gen_uncond.py:42) which
+       PointDiffusion.__init__ does not accept;
+    2. with ``AnchoredDiffusion`` and latent_dim != num_anchors, the train
+       forward crashes at the prior loss: ``gaussian_entropy`` without
+       ``dim`` sums over the ANCHOR axis and ``-log_pz - entropy``
+       broadcasts (B, K) vs (B, C) (anchor_gen_uncond.py:213-215);
+    3. with latent_dim == num_anchors (dodging 2), it crashes at the
+       diffusion loss: NO reference diffusion's training_losses accepts the
+       kwarg set passed (code= + pointwise_latent= + variance= + reduce=,
+       anchor_gen_uncond.py:237).
+
+    Our models/orchestrators_extra.AnchoredGeneration implements the evident
+    intent (entropy over the latent axis; global code as ctx token with the
+    per-point latent concatenated onto the denoiser input); every submodule
+    it composes is individually golden-tested elsewhere in this suite."""
+    _install_reference()
+    from difffacto.models.networks.anchor_gen_uncond import AnchoredGeneration
+
+    K, C, N, T = 4, 16, 32, 5
+    enc = dict(type="PCN", point_dim=3 + K, part_latent_dim=C)
+    reg = dict(type="MeanVarianceRegressor", latent_dim=C)
+    dec = dict(
+        type="ComponentMixer", part_latent_dim=C, include_attention=True,
+        include_global_feature=True, nheads=4, mlp_type=0,
+    )
+    pw_diff = dict(
+        type="PointDiffusion",
+        net=dict(type="PointwiseNet", in_channels=3, out_channels=3, context_dim=C),
+        beta_1=1e-4, beta_T=0.02,
+    )
+
+    # 1: unbuildable with PointDiffusion
+    with pytest.raises(TypeError):
+        AnchoredGeneration(
+            encoder=dict(enc), decomposer=dict(dec), parameter_regressor=dict(reg),
+            diffusion=dict(pw_diff), sampler=dict(type="Uniform"),
+            num_anchors=K, num_timesteps=T, npoints=N, loss=dict(type="L2Loss"),
+        )
+
+    anch_diff = dict(
+        type="AnchoredDiffusion",
+        net=dict(type="TransformerNet", in_channels=3, out_channels=3,
+                 n_heads=2, d_head=8, depth=1, context_dim=C),
+        beta_1=1e-4, beta_T=0.02, mode="linear",
+        model_mean_type="epsilon", model_var_type="fixed_small",
+        include_anchors=False,
+    )
+
+    def _build(latent_dim):
+        torch.manual_seed(9)
+        e = dict(enc); e["part_latent_dim"] = latent_dim
+        r = dict(reg); r["latent_dim"] = latent_dim
+        d = dict(dec); d["part_latent_dim"] = latent_dim
+        return AnchoredGeneration(
+            encoder=e, decomposer=d, parameter_regressor=r,
+            diffusion=dict(anch_diff), sampler=dict(type="Uniform"),
+            num_anchors=K, num_timesteps=T, npoints=N, loss=dict(type="L2Loss"),
+        ).train()
+
+    rng = np.random.RandomState(10)
+    seg = rng.randint(0, K, (2, N))
+    pcds = {
+        "input": torch.from_numpy(rng.randn(2, N, 3).astype(np.float32)),
+        "ref": torch.from_numpy(rng.randn(2, N, 3).astype(np.float32)),
+        "attn_map": torch.from_numpy(np.eye(K, dtype=np.float32)[seg]),
+        "seg_mask": torch.from_numpy(seg.astype(np.int64)),
+    }
+
+    # 2: entropy broadcast crash when latent_dim != num_anchors
+    with pytest.raises(RuntimeError):
+        _build(latent_dim=C)(pcds, device="cpu")
+
+    # 3: kwarg-mismatch crash at the diffusion loss when latent_dim == K
+    with pytest.raises(TypeError):
+        _build(latent_dim=K)(pcds, device="cpu")
+
+
 def test_reference_partglot_classifier_unbuildable_as_shipped():
     """listener.py:14 — PartglotClassifier loads word2int.pkl from the same
     hardcoded absolute /mnt/disk3/... path as PartLatentEditor, so the

@@ -190,14 +190,16 @@ class TestExtraOrchestrators:
         from test_model import tiny_batch
 
         model = AnchoredGeneration(
+            encoder=dict(type="PCN", point_dim=7, part_latent_dim=16),
+            parameter_regressor=dict(type="MeanVarianceRegressor", latent_dim=16),
             decomposer=dict(
-                type="ComponentMixer", num_anchors=4, part_latent_dim=16,
-                include_attention=True,
+                type="ComponentMixer", part_latent_dim=16,
+                include_attention=True, include_global_feature=True,
             ),
             diffusion=dict(
                 type="AnchoredDiffusion",
-                net=dict(type="PointwiseNet2", in_channels=3, out_channels=3,
-                         context_dim=16, num_anchors=4, hidden=(32, 64, 32)),
+                net=dict(type="PointwiseNet", point_dim=3, residual=False,
+                         hidden=(16, 32, 16)),
                 beta_1=1e-4, beta_T=0.02, k=1.0, mode="linear",
                 model_mean_type="epsilon", learn_variance=False,
                 include_anchors=False, res=False,
@@ -206,7 +208,7 @@ class TestExtraOrchestrators:
             num_anchors=4,
             num_timesteps=5,
             npoints=32,
-            latent_dim=16,
+            guidance=True,
         )
         batch = tiny_batch(B=2)
         vs = jax.jit(lambda r, b: model.init(r, b, 0, method=AnchoredGeneration.loss))(
@@ -217,7 +219,16 @@ class TestExtraOrchestrators:
             rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
             mutable=["batch_stats"],
         )
-        assert np.isfinite(np.asarray(losses["mse_loss"]))
+        for k in ("mse_loss", "prior_loss", "anchor_loss"):
+            assert np.isfinite(np.asarray(losses[k])), k
+        # uncond eval: sample latents -> reverse decode (anchor_gen_uncond.py:241-269)
+        out = model.apply(
+            vs, batch, method=AnchoredGeneration.predict,
+            rngs={"sample": jax.random.PRNGKey(5)},
+        )
+        assert out["pred"].shape == (2, 32, 3)
+        assert np.isfinite(np.asarray(out["pred"])).all()
+        assert out["seg_mask"].shape == (2, 32)
 
 
 class TestSupsegEncoders:
