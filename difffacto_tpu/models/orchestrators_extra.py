@@ -57,11 +57,16 @@ class PDM(nn.Module):
         )
 
     def encode(self, batch, train: bool = False):
+        """Whole-shape code, flattened to ONE global vector the way the
+        reference does (point_diff.py:455 ``encoder(x).reshape(B, -1)`` —
+        per-anchor structure is deliberately collapsed)."""
         x = batch["input"]
         if self.include_attn_weight_in_encoder:
             x = jnp.concatenate([x, batch["attn_map"]], axis=-1)
-        code = self.encoder_mod(x, train=train)  # (B, num_anchors, zdim)
-        return code
+        code = self.encoder_mod(x, train=train)
+        if isinstance(code, tuple):
+            code = code[0]
+        return code.reshape(code.shape[0], -1)
 
     def denoise(self, x, t, ctx, anchors, variances, seg_mask, valid_id, train: bool = False):
         return self.net(
@@ -69,6 +74,11 @@ class PDM(nn.Module):
         )
 
     def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
+        """Train forward (point_diff.py:432-462): vanilla DPM on the cloud,
+        zero anchors, the global code as the single ctx token. The
+        reference's own call crashes for every diffusion class (kwarg
+        mismatch — same defect family as AnchoredGeneration, pinned in
+        tests/test_reference_parity_supseg.py); this is the evident intent."""
         ref = batch["ref"]
         B = ref.shape[0]
         code = self.encode(batch, train=True)
@@ -83,7 +93,7 @@ class PDM(nn.Module):
             ref,
             t,
             anchors=jnp.zeros_like(ref),
-            ctx=code,
+            ctx=code[:, None, :],
             seg_mask=batch["ref_seg_mask"].astype(jnp.int32),
         )
         return losses
@@ -94,6 +104,24 @@ class PDM(nn.Module):
         anchors = jnp.zeros((B, self.npoints, 3), jnp.float32)
         seg_mask = batch["ref_seg_mask"].astype(jnp.int32)
         return code, anchors, seg_mask
+
+    def predict(self, batch) -> Dict[str, jnp.ndarray]:
+        """Eval forward (point_diff.py:464-476): reverse decode from zero
+        anchors conditioned on the encoded cloud."""
+        code, anchors, seg_mask = self.prepare_decode(batch, train=False)
+
+        def model_fn(inp, ts, c, anc, var, seg, vid):
+            return self.denoise(inp, ts, code[:, None, :], anc, var, seg, vid)
+
+        out = self.diff.p_sample_loop(
+            model_fn, self.make_rng("sample"), anchors,
+            ret_traj=self.ret_traj, ret_interval=self.ret_interval,
+        )
+        out["input"] = batch["input"]
+        out["input_ref"] = batch["ref"]
+        out["seg_mask"] = seg_mask
+        out["seg_mask_ref"] = seg_mask
+        return out
 
 
 @MODELS.register_module()

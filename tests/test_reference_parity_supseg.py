@@ -565,6 +565,42 @@ def test_reference_anchored_generation_broken_as_shipped():
         _build(latent_dim=K)(pcds, device="cpu")
 
 
+def test_reference_pdm_forward_broken_as_shipped():
+    """networks/point_diff.py:432-462 — PDM's train forward passes
+    ``code= + pointwise_latent= + variance= + reduce=`` to
+    training_losses, a kwarg set no reference diffusion accepts (same
+    family as AnchoredGeneration's defect 3). Executed with
+    AnchoredDiffusion; PointDiffusion rejects variance/reduce identically."""
+    _install_reference()
+    from difffacto.models.networks.point_diff import PDM
+
+    K, N, T = 4, 32, 5
+    torch.manual_seed(11)
+    pdm = PDM(
+        encoder=dict(type="PCN", point_dim=3 + K, part_latent_dim=8),
+        diffusion=dict(
+            type="AnchoredDiffusion",
+            net=dict(type="TransformerNet", in_channels=3, out_channels=3,
+                     n_heads=2, d_head=8, depth=1, context_dim=8 * K),
+            beta_1=1e-4, beta_T=0.02, mode="linear",
+            model_mean_type="epsilon", model_var_type="fixed_small",
+            include_anchors=False,
+        ),
+        sampler=dict(type="Uniform"),
+        num_timesteps=T, npoints=N,
+    ).train()
+    rng = np.random.RandomState(12)
+    seg = rng.randint(0, K, (2, N))
+    pcds = {
+        "input": torch.from_numpy(rng.randn(2, N, 3).astype(np.float32)),
+        "ref": torch.from_numpy(rng.randn(2, N, 3).astype(np.float32)),
+        "attn_map": torch.from_numpy(np.eye(K, dtype=np.float32)[seg]),
+        "seg_mask": torch.from_numpy(seg.astype(np.int64)),
+    }
+    with pytest.raises(TypeError):
+        pdm(pcds, device="cpu")
+
+
 def test_reference_partglot_classifier_unbuildable_as_shipped():
     """listener.py:14 — PartglotClassifier loads word2int.pkl from the same
     hardcoded absolute /mnt/disk3/... path as PartLatentEditor, so the
