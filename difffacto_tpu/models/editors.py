@@ -259,13 +259,431 @@ class PartLatentEditor(nn.Module):
         }
 
 
-@MODELS.register_module()
-class AnchorDiffGenSuperSegments(AnchorDiffAE):
-    """AnchorDiffAE over PartGlot super-segments (anchor_gen_supseg.py:27-880):
-    identical machinery with n_class = number of super-segments; segment
-    one-hots come from the sup-seg dataset instead of semantic part labels."""
+class _LatentProjection(nn.Module):
+    """Per-part extrinsic-parameter projection (anchor_gen_supseg.py:140-199):
+    a down-projection splits each primary part latent into an intrinsic code
+    and shift[, log-scale] params; the params are re-embedded through an
+    up-projection and added back, optionally through a zero-init post-FF.
 
-    pass
+    ``project_pe_type``: 0 = one Linear emitting intrinsic+extrinsic;
+    1 = MLP emits extrinsic only (intrinsic = latent); 2 = MLP over the
+    FLATTENED K*part_dim latent. ``share_projection=False`` uses grouped
+    (per-anchor) projections like the reference's groups=K Conv1d."""
+
+    part_dim: int
+    param_dim: int
+    num_anchors: int
+    project_pe_type: int = 0
+    share_projection: bool = True
+    post_ff: bool = False
+    post_norm: Optional[str] = "gn"
+    post_dp: float = 0.2
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        pd, qd, K = self.part_dim, self.param_dim, self.num_anchors
+        if not self.share_projection:
+            self.down_kernel = self.param(
+                "down_kernel", nn.initializers.lecun_normal(), (K, pd, pd + qd)
+            )
+            self.down_bias = self.param("down_bias", nn.initializers.zeros, (K, pd + qd))
+            self.up_kernel = self.param(
+                "up_kernel", nn.initializers.lecun_normal(), (K, qd, pd)
+            )
+            self.up_bias = self.param("up_bias", nn.initializers.zeros, (K, pd))
+        elif self.project_pe_type == 0:
+            self.down0 = nn.Dense(pd + qd, dtype=self.dtype)
+            self.up0 = nn.Dense(pd, dtype=self.dtype)
+        elif self.project_pe_type == 1:
+            self.down_mlp = [
+                nn.Dense(128, dtype=self.dtype),
+                nn.Dense(64, dtype=self.dtype),
+                nn.Dense(qd, dtype=self.dtype),
+            ]
+            self.up0 = nn.Dense(pd, dtype=self.dtype)
+        else:
+            self.down_mlp = [
+                nn.Dense(256, dtype=self.dtype),
+                nn.Dense(64, dtype=self.dtype),
+                nn.Dense(qd * K, dtype=self.dtype),
+            ]
+            self.up0 = nn.Dense(pd, dtype=self.dtype)
+        if self.post_ff:
+            if self.post_norm == "gn":
+                self.ff_norm = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype)
+            elif self.post_norm == "bn":
+                self.ff_norm = TorchBatchNorm(dtype=self.dtype)
+            self.ff_drop = nn.Dropout(self.post_dp)
+            self.ff_out = nn.Dense(
+                self.part_dim, dtype=self.dtype, kernel_init=nn.initializers.zeros
+            )
+
+    def down(self, latent):
+        """latent (B, K, part_dim) -> (intrinsic, extrinsic (B, K, param_dim))."""
+        B = latent.shape[0]
+        if not self.share_projection:
+            out = jnp.einsum("bki,kio->bko", latent, self.down_kernel) + self.down_bias[None]
+            return out[..., : self.part_dim], out[..., self.part_dim :]
+        if self.project_pe_type == 0:
+            out = self.down0(latent)
+            return out[..., : self.part_dim], out[..., self.part_dim :]
+        if self.project_pe_type == 1:
+            h = nn.relu(latent)
+            for lyr in self.down_mlp[:-1]:
+                h = nn.relu(lyr(h))
+            return latent, self.down_mlp[-1](h)
+        h = nn.relu(latent.reshape(B, -1))
+        for lyr in self.down_mlp[:-1]:
+            h = nn.relu(lyr(h))
+        ext = self.down_mlp[-1](h)
+        return latent, ext.reshape(B, self.num_anchors, self.param_dim)
+
+    def up(self, intrinsic, params, latent, deterministic: bool = True):
+        """Re-embed params and add; optional zero-init post-FF residual."""
+        if self.share_projection:
+            emb = self.up0(params)
+        else:
+            emb = jnp.einsum("bki,kio->bko", params, self.up_kernel) + self.up_bias[None]
+        out = intrinsic + emb
+        if not self.post_ff:
+            return out
+        h = out
+        if self.post_norm == "gn":
+            h = self.ff_norm(h)
+        elif self.post_norm == "bn":
+            h = self.ff_norm(h, use_running_average=deterministic)
+        h = nn.silu(h)
+        h = self.ff_drop(h, deterministic=deterministic)
+        return latent + self.ff_out(h)
+
+
+@MODELS.register_module()
+class AnchorDiffGenSuperSegments(nn.Module):
+    """Decomposer-based generator over PartGlot super-segments
+    (anchor_gen_supseg.py:27-853): the encoder's PRIMARY part latents are
+    optionally projected into intrinsic codes + per-part shift/scale
+    (``project_latent``), the decomposer regresses anchors + SECONDARY
+    latents + a global code, an anchor loss (optionally annealed / zeroed /
+    replaced by gt or global anchors) supervises the per-point anchors, and
+    the anchored diffusion trains with the global code as the ctx token and
+    the per-point part latent concatenated onto the denoiser input.
+
+    Reference defect (same family as AnchoredGeneration/PDM, pinned in
+    tests/test_reference_parity_supseg.py): its forward passes
+    ``code= + pointwise_latent= (+variance/reduce/anchor_assignment)`` to
+    ``training_losses`` — a kwarg set no shipped diffusion accepts — so the
+    reference train path crashes; this is the evident intent. The
+    ``language_edit`` branch requires external LDM/language checkpoints
+    (anchor_gen_supseg.py:189-198); the equivalent surface here is
+    AnchorDiffAE.language_edit_latents."""
+
+    encoder: dict
+    decomposer: dict
+    diffusion: dict
+    sampler: dict
+    num_anchors: int
+    num_timesteps: int
+    npoints: int = 2048
+    anchor_loss_weight: float = 1.0
+    anchor_weight_annealing: bool = False
+    annealing_epoch: int = 500
+    loss: Optional[dict] = None
+    include_attn_weight_in_encoder: bool = True
+    guidance: bool = False
+    part_latent_dropout_prob: float = 0.2
+    global_latent_dropout_prob: float = 0.2
+    use_primary: bool = False
+    use_zero_anchor: bool = False
+    use_global_anchor: bool = False
+    use_gt_anchors: bool = False
+    project_latent: bool = False
+    project_pe_type: int = 0
+    post_ff: bool = False
+    post_norm: Optional[str] = "gn"
+    post_dp: float = 0.2
+    use_log_for_scale: bool = True
+    share_projection: bool = True
+    learn_var: bool = False
+    detach_anchor: bool = False
+    detach_variance: bool = True
+    part_dim: int = 256
+    global_shift: bool = False
+    global_scale: bool = False
+    vertical_only: bool = True
+    normal_diffusion: bool = False
+    sample_by_seg_mask: bool = False
+    forward_sample: bool = False
+    ret_traj: bool = False
+    ret_interval: int = 20
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.encoder_mod = build_from_cfg(
+            dict(self.encoder), ENCODERS, num_anchors=self.num_anchors,
+            dtype=self.dtype,
+        )
+        self.decomposer_mod = build_from_cfg(
+            dict(self.decomposer), DECOMPOSERS, num_anchors=self.num_anchors,
+            point_dim=3, dtype=self.dtype,
+        )
+        dcfg = dict(self.diffusion)
+        self.net = build_from_cfg(dict(dcfg.pop("net")), NETS, dtype=self.dtype)
+        self.diff = build_diffusion(dcfg, self.num_timesteps)
+        self.t_sampler = build_from_cfg(
+            dict(self.sampler), SAMPLERS, num_timesteps=self.num_timesteps
+        )
+        lcfg = self.loss if isinstance(self.loss, dict) else None
+        self.anchor_loss_func = build_from_cfg(dict(lcfg), METRICS) if lcfg else None
+        if self.project_latent:
+            self.projection = _LatentProjection(
+                part_dim=self.part_dim,
+                param_dim=6 if self.learn_var else 3,
+                num_anchors=self.num_anchors,
+                project_pe_type=self.project_pe_type,
+                share_projection=self.share_projection,
+                post_ff=self.post_ff,
+                post_norm=self.post_norm,
+                post_dp=self.post_dp,
+                dtype=self.dtype,
+            )
+
+    @property
+    def points_per_anchor(self):
+        return self.npoints // self.num_anchors
+
+    def get_primary_latent(self, batch, train: bool = False):
+        """(anchor_gen_supseg.py:619-628)."""
+        x = batch["input"]
+        if self.include_attn_weight_in_encoder:
+            x = jnp.concatenate([x, batch["attn_map"]], axis=-1)
+        lat = self.encoder_mod(x, train=train)
+        return lat[0] if isinstance(lat, tuple) else lat
+
+    def project_primary_latent(self, latent, ref=None, train: bool = False,
+                               fix_shift=None, fix_scale=None):
+        """(anchor_gen_supseg.py:630-702): split off per-part shift/scale,
+        optional train-time global shift/scale augments applied to BOTH the
+        params and ref, re-embed; returns (latent, corrected_anchor,
+        corrected_scale (exp'd / relu'd), ref)."""
+        B = latent.shape[0]
+        intrinsic, extrinsic = self.projection.down(latent)
+        if self.learn_var:
+            shift, scale = extrinsic[..., :3], extrinsic[..., 3:]
+        else:
+            shift, scale = extrinsic, jnp.zeros_like(extrinsic)
+        part_shifts = jnp.zeros((B, 1, 3), latent.dtype)
+        part_scales = jnp.ones((B, 1, 3), latent.dtype)
+        if train and self.global_shift:
+            rand_shift = jax.random.uniform(self.make_rng("sample"), (B, 1, 3)) - 0.5
+            if self.vertical_only:
+                rand_shift = rand_shift * jnp.asarray([0.0, 1.0, 0.0])
+            part_shifts = rand_shift
+            ref = None if ref is None else ref + rand_shift
+        if train and self.global_scale:
+            part_scales = jax.random.uniform(self.make_rng("sample"), (B, 1, 3)) / 2 + 0.7
+            ref = None if ref is None else ref * part_scales
+        corrected_anchor = (shift + part_shifts) * part_scales
+        corrected_scale = scale + jnp.log(part_scales)
+        if fix_shift is not None:
+            corrected_anchor = jnp.broadcast_to(fix_shift, corrected_anchor.shape)
+        if fix_scale is not None:
+            corrected_scale = jnp.broadcast_to(fix_scale, corrected_scale.shape)
+        params = (
+            jnp.concatenate([corrected_anchor, corrected_scale], axis=-1)
+            if self.learn_var
+            else corrected_anchor
+        )
+        latent = self.projection.up(intrinsic, params, latent, deterministic=not train)
+        corrected_scale = (
+            jnp.exp(corrected_scale)
+            if self.use_log_for_scale
+            else nn.relu(corrected_scale)
+        )
+        return latent, corrected_anchor, jnp.exp(corrected_scale), ref
+
+    def get_params(self, batch):
+        """(shift, log scale) from the projection (anchor_gen_supseg.py:611-617)."""
+        lat = self.get_primary_latent(batch, train=False)
+        _, shift, scale, _ = self.project_primary_latent(lat, train=False)
+        return shift, jnp.log(scale)
+
+    def _encode_decompose(self, batch, train: bool = False):
+        """Shared head of train/eval forward (anchor_gen_supseg.py:749-772)."""
+        ref = batch["ref"]
+        primary = self.get_primary_latent(batch, train=train)
+        corrected_anchor = corrected_scale = None
+        if self.project_latent:
+            primary, corrected_anchor, corrected_scale, ref = (
+                self.project_primary_latent(primary, ref=ref, train=train)
+            )
+        global_feature, anchors, secondary = self.decomposer_mod(primary, train=train)
+        part_latent = primary if self.use_primary else secondary
+        variances = 1.0
+        if self.project_latent:
+            anchors = corrected_anchor
+            if self.learn_var:
+                variances = corrected_scale
+        if self.use_zero_anchor:
+            anchors = jnp.zeros_like(anchors)
+        if self.use_global_anchor:
+            anchors = batch["global_anchor_mean"]
+        if self.use_gt_anchors:
+            anchors = batch["part_means"][..., 1:]
+        return global_feature, anchors, part_latent, variances, ref
+
+    def _model_fn(self, pointwise_latent, code, train: bool = False):
+        ctx_tok = code[:, None, :]
+
+        def fn(inp, ts, c, anc, var, seg, vid):
+            h = jnp.concatenate([inp, pointwise_latent.astype(inp.dtype)], axis=-1)
+            return self.net(h, ts, ctx_tok, anc, var, seg, vid, deterministic=not train)
+
+        return fn
+
+    def loss(self, batch, epoch=0) -> Dict[str, jnp.ndarray]:
+        """Train forward (anchor_gen_supseg.py:774-813)."""
+        from .part_encoder import gather_per_point
+
+        seg_mask = batch["seg_mask"].astype(jnp.int32)
+        B = batch["input"].shape[0]
+        global_feature, anchors, part_latent, variances, ref = (
+            self._encode_decompose(batch, train=True)
+        )
+        if self.guidance:
+            keep = (
+                jax.random.uniform(self.make_rng("sample"), part_latent.shape[:-1])
+                >= self.part_latent_dropout_prob
+            )
+            part_latent = part_latent * keep[..., None]
+            gkeep = (
+                jax.random.uniform(self.make_rng("sample"), (B,))
+                >= self.global_latent_dropout_prob
+            )
+            global_feature = global_feature * gkeep[:, None]
+
+        t, _ = self.t_sampler.sample(self.make_rng("sample"), B)
+        latent_pp = gather_per_point(part_latent, seg_mask)
+        anchor_pp = gather_per_point(anchors, seg_mask)
+        var_pp = (
+            gather_per_point(variances, seg_mask)
+            if not isinstance(variances, float)
+            else None
+        )
+
+        if self.anchor_weight_annealing:
+            ratio = 1.0 / self.annealing_epoch
+            w = ratio * min(epoch, self.annealing_epoch)
+        elif self.use_zero_anchor or self.use_global_anchor or self.use_gt_anchors:
+            w = 0.0
+        else:
+            w = self.anchor_loss_weight
+        if self.anchor_loss_func is None:
+            base_anchor = ((anchor_pp - ref) ** 2).sum(-1).mean()
+        elif var_pp is not None:
+            base_anchor = self.anchor_loss_func(ref, anchor_pp, var=var_pp)
+        else:
+            base_anchor = self.anchor_loss_func(ref, anchor_pp)
+        losses = {"anchor_loss": w * base_anchor}
+
+        if self.normal_diffusion:
+            anchor_pp = anchor_pp * 0
+            var_pp = None if var_pp is None else jnp.ones_like(var_pp)
+        if self.detach_anchor:
+            anchor_pp = jax.lax.stop_gradient(anchor_pp)
+        if self.detach_variance and var_pp is not None:
+            var_pp = jax.lax.stop_gradient(var_pp)
+
+        model_fn = self._model_fn(latent_pp, global_feature, train=True)
+        diff_losses = self.diff.training_losses(
+            model_fn, self.make_rng("sample"), ref, t,
+            anchors=anchor_pp, variance=var_pp, seg_mask=seg_mask,
+        )
+        losses.update(diff_losses)
+        return losses
+
+    def predict(self, batch) -> Dict[str, jnp.ndarray]:
+        """Eval forward (anchor_gen_supseg.py:815-853): per-point anchors and
+        latents by seg-mask gather or equal split, then reverse decode (or
+        forward-chain visualization)."""
+        from .part_encoder import gather_per_point
+
+        B = batch["input"].shape[0]
+        global_feature, anchors, part_latent, variances, ref = (
+            self._encode_decompose(batch, train=False)
+        )
+        if self.sample_by_seg_mask:
+            seg = batch["seg_mask"].astype(jnp.int32)
+            multiple = self.npoints // seg.shape[1]
+            assignments = jnp.repeat(seg, multiple, axis=1)
+        else:
+            assignments = jnp.broadcast_to(
+                jnp.repeat(
+                    jnp.arange(self.num_anchors, dtype=jnp.int32),
+                    self.points_per_anchor,
+                )[None],
+                (B, self.npoints),
+            )
+        anchor_pp = gather_per_point(anchors, assignments)
+        latent_pp = gather_per_point(part_latent, assignments)
+        var_pp = (
+            gather_per_point(variances, assignments)
+            if not isinstance(variances, float)
+            else None
+        )
+        if self.normal_diffusion:
+            anchor_pp = anchor_pp * 0
+            var_pp = None if var_pp is None else jnp.ones_like(var_pp)
+
+        if self.forward_sample:
+            traj = self.diff.q_sample_loop(self.make_rng("sample"), ref, anchor_pp)
+            out = {"pred": ref, "traj": traj}
+        else:
+            model_fn = self._model_fn(latent_pp, global_feature, train=False)
+            out = self.diff.p_sample_loop(
+                model_fn, self.make_rng("sample"), anchor_pp, variance=var_pp,
+                ret_traj=self.ret_traj, ret_interval=self.ret_interval,
+            )
+        out["input"] = batch["input"]
+        out["input_ref"] = ref
+        out["anchors"] = anchors
+        out["seg_mask"] = assignments
+        out["seg_mask_ref"] = batch["seg_mask"]
+        out["assigned_anchor"] = anchor_pp
+        return out
+
+    def interpolate_latent(self, batch, id1: int, id2: int, anchor_id: int,
+                           steps: int = 10) -> Dict[str, jnp.ndarray]:
+        """Interpolate ONE part's primary latent between two shapes
+        (anchor_gen_supseg.py:255-336, structure; the reference branch
+        hardcodes ids and re-derives per-point tensors the same way)."""
+        from .part_encoder import gather_per_point
+
+        sub = {
+            k: v[jnp.array([id1, id2])]
+            for k, v in batch.items()
+            if hasattr(v, "shape") and v.shape[:1] == batch["input"].shape[:1]
+        }
+        global_feature, anchors, part_latent, variances, _ = (
+            self._encode_decompose(sub, train=False)
+        )
+        w = jnp.linspace(0.0, 1.0, steps)[:, None]
+        lat = jnp.repeat(part_latent[:1], steps, axis=0)
+        mixed_part = part_latent[0, anchor_id] * (1 - w) + part_latent[1, anchor_id] * w
+        lat = lat.at[:, anchor_id].set(mixed_part)
+        anchors_i = jnp.repeat(anchors[:1], steps, axis=0)
+        code = jnp.repeat(global_feature[:1], steps, axis=0)
+        assignments = jnp.broadcast_to(
+            jnp.repeat(
+                jnp.arange(self.num_anchors, dtype=jnp.int32), self.points_per_anchor
+            )[None],
+            (steps, self.npoints),
+        )
+        anchor_pp = gather_per_point(anchors_i, assignments)
+        latent_pp = gather_per_point(lat, assignments)
+        model_fn = self._model_fn(latent_pp, code, train=False)
+        out = self.diff.p_sample_loop(model_fn, self.make_rng("sample"), anchor_pp)
+        out["seg_mask"] = assignments
+        return out
 
 
 @MODELS.register_module()

@@ -601,6 +601,49 @@ def test_reference_pdm_forward_broken_as_shipped():
         pdm(pcds, device="cpu")
 
 
+def test_reference_supseg_orchestrator_forward_broken_as_shipped():
+    """networks/anchor_gen_supseg.py:806-809 — AnchorDiffGenSuperSegments'
+    train forward passes code= + pointwise_latent= (+variance/reduce/
+    anchor_assignment) to training_losses; AnchoredDiffusion accepts none of
+    the first two, PointDiffusion none of the last three — unrunnable with
+    every shipped diffusion (same family as AnchoredGeneration/PDM)."""
+    _install_reference()
+    from difffacto.models.networks.anchor_gen_supseg import (
+        AnchorDiffGenSuperSegments,
+    )
+
+    K, N, T = 4, 32, 5
+    torch.manual_seed(13)
+    model = AnchorDiffGenSuperSegments(
+        encoder=dict(type="PCN", point_dim=3 + K, part_latent_dim=16),
+        decomposer=dict(
+            type="ComponentMixer", part_latent_dim=16, include_attention=True,
+            include_global_feature=True, nheads=4, mlp_type=0,
+        ),
+        diffusion=dict(
+            type="AnchoredDiffusion",
+            net=dict(type="TransformerNet", in_channels=3, out_channels=3,
+                     n_heads=2, d_head=8, depth=1, context_dim=16),
+            beta_1=1e-4, beta_T=0.02, mode="linear",
+            model_mean_type="epsilon", model_var_type="fixed_small",
+            include_anchors=False,
+        ),
+        sampler=dict(type="Uniform"),
+        num_anchors=K, num_timesteps=T, npoints=N,
+        loss=dict(type="NegativeGaussianLogLikelihood"),
+    ).train()
+    rng = np.random.RandomState(14)
+    seg = rng.randint(0, K, (2, N))
+    pcds = {
+        "input": torch.from_numpy(rng.randn(2, N, 3).astype(np.float32)),
+        "ref": torch.from_numpy(rng.randn(2, N, 3).astype(np.float32)),
+        "attn_map": torch.from_numpy(np.eye(K, dtype=np.float32)[seg]),
+        "seg_mask": torch.from_numpy(seg.astype(np.int64)),
+    }
+    with pytest.raises(TypeError):
+        model(pcds, device="cpu")
+
+
 def test_reference_partglot_classifier_unbuildable_as_shipped():
     """listener.py:14 — PartglotClassifier loads word2int.pkl from the same
     hardcoded absolute /mnt/disk3/... path as PartLatentEditor, so the

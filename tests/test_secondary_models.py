@@ -231,6 +231,87 @@ class TestExtraOrchestrators:
         assert out["seg_mask"].shape == (2, 32)
 
 
+class TestAnchorDiffGenSuperSegments:
+    def _model(self, **kw):
+        from difffacto_tpu.models import AnchorDiffGenSuperSegments
+
+        base = dict(
+            encoder=dict(type="PCN", point_dim=7, part_latent_dim=16),
+            decomposer=dict(
+                type="ComponentMixer", part_latent_dim=16,
+                include_attention=True, include_global_feature=True,
+            ),
+            diffusion=dict(
+                type="AnchoredDiffusion",
+                net=dict(type="PointwiseNet", point_dim=3, residual=False,
+                         hidden=(16, 32, 16)),
+                beta_1=1e-4, beta_T=0.02, k=1.0, mode="linear",
+                model_mean_type="epsilon", learn_variance=False,
+                include_anchors=False, res=False,
+            ),
+            sampler=dict(type="Uniform"),
+            num_anchors=4, num_timesteps=5, npoints=32, part_dim=16,
+            loss=dict(type="NegativeGaussianLogLikelihood"),
+        )
+        base.update(kw)
+        return AnchorDiffGenSuperSegments(**base)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(),
+            dict(project_latent=True, learn_var=True, post_ff=True,
+                 post_norm="bn", guidance=True, global_shift=True,
+                 global_scale=True),
+            dict(project_latent=True, project_pe_type=2, share_projection=False,
+                 use_primary=True),
+        ],
+    )
+    def test_loss_and_predict(self, kw):
+        from difffacto_tpu.models import AnchorDiffGenSuperSegments
+        from test_model import tiny_batch
+
+        model = self._model(**kw)
+        batch = tiny_batch(B=2)
+        vs = jax.jit(
+            lambda r, b: model.init(r, b, 0, method=AnchorDiffGenSuperSegments.loss)
+        )(RNGS, batch)
+        losses, _ = model.apply(
+            vs, batch, 0, method=AnchorDiffGenSuperSegments.loss,
+            rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        for k in ("anchor_loss", "mse_loss"):
+            assert np.isfinite(float(losses[k])), (kw, k)
+        out = model.apply(
+            vs, batch, method=AnchorDiffGenSuperSegments.predict,
+            rngs={"sample": jax.random.PRNGKey(5)},
+        )
+        assert out["pred"].shape == (2, 32, 3)
+        assert np.isfinite(np.asarray(out["pred"])).all()
+
+    def test_get_params_and_interpolate(self):
+        from difffacto_tpu.models import AnchorDiffGenSuperSegments
+        from test_model import tiny_batch
+
+        model = self._model(project_latent=True, learn_var=True)
+        batch = tiny_batch(B=3)
+        vs = jax.jit(
+            lambda r, b: model.init(r, b, 0, method=AnchorDiffGenSuperSegments.loss)
+        )(RNGS, batch)
+        shift, logscale = model.apply(
+            vs, batch, method=AnchorDiffGenSuperSegments.get_params,
+            rngs={"sample": jax.random.PRNGKey(6)},
+        )
+        assert shift.shape == (3, 4, 3) and logscale.shape == (3, 4, 3)
+        out = model.apply(
+            vs, batch, 0, 1, 2, method=AnchorDiffGenSuperSegments.interpolate_latent,
+            rngs={"sample": jax.random.PRNGKey(7)},
+        )
+        assert out["pred"].shape == (10, 32, 3)
+        assert np.isfinite(np.asarray(out["pred"])).all()
+
+
 class TestSupsegEncoders:
     def test_supsegs_encoder(self):
         from difffacto_tpu.models import SupSegsEncoder
