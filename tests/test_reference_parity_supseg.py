@@ -662,6 +662,31 @@ def test_reference_partglot_classifier_unbuildable_as_shipped():
         )
 
 
+def test_reference_partglot_finetune_is_empty_stub():
+    """networks/partglot_finetune.py:30 — the reference PartglotFinetune's
+    forward body is literally ``pass``: it builds submodules then returns
+    None for every input. Our models/editors.py PartglotFinetune implements
+    the evidently intended listener-guided finetune delegation instead."""
+    _install_reference()
+    from difffacto.models.networks.partglot_finetune import PartglotFinetune
+
+    torch.manual_seed(15)
+    model = PartglotFinetune(
+        encoder=dict(type="PCN", point_dim=3, part_latent_dim=8),
+        diffusion=dict(
+            type="AnchoredDiffusion",
+            net=dict(type="TransformerNet", in_channels=3, out_channels=3,
+                     n_heads=2, d_head=8, depth=1, context_dim=8),
+            beta_1=1e-4, beta_T=0.02, mode="linear",
+            model_mean_type="epsilon", model_var_type="fixed_small",
+            include_anchors=False,
+        ),
+        sampler=dict(type="Uniform"),
+        num_anchors=4, num_timesteps=5, npoints=32,
+    )
+    assert model({"input": torch.zeros(2, 32, 3)}, device="cpu") is None
+
+
 def test_reference_part_latent_editor_unbuildable_as_shipped():
     """part_editing.py:60 loads word2int.pkl from a hardcoded absolute
     /mnt/disk3/... path unconditionally in __init__."""
