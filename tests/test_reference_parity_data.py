@@ -176,6 +176,178 @@ def test_shapenet_seg_getitem_parity(tree):
             )
 
 
+def test_custom_dataset_getitem_parity(tmp_path):
+    """Reference ``CustomDataset.__getitem__`` (datasets/custom.py:40-92)
+    vs ours over the same synthesized-dump pickle with shared RNG: the
+    per-part canonical normalization, >=10 threshold, std==0 presence, and
+    straggler relabeling all reproduce index-exactly."""
+    import pickle
+
+    _install_reference()
+    from difffacto.datasets.custom import CustomDataset as RefCustom
+
+    from difffacto_tpu.data.custom import CustomDatasetImpl
+
+    rng = np.random.RandomState(40)
+    S, NRAW = 3, 400
+    seg = rng.randint(0, 4, (S, NRAW))
+    seg[1, :12] = 3  # one part hovering near the 10-point threshold
+    data = {
+        "pred": rng.randn(S, NRAW, 3).astype(np.float32) * 0.3,
+        "pred_seg_mask": seg,
+    }
+    p = str(tmp_path / "dump.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+
+    ref_ds = RefCustom(data_dir=p, npoints=NPOINTS, scale_mode="shape_unit",
+                       part_scale_mode="shape_canonical", clip=True)
+    our_ds = CustomDatasetImpl(p, npoints=NPOINTS, scale_mode="shape_unit",
+                               part_scale_mode="shape_canonical", clip=True)
+    assert len(ref_ds) == len(our_ds) == S
+    for i in range(S):
+        draws = _SharedDraws(300 + i)
+        with draws:
+            ritem = ref_ds[i]
+        our_ds._rng = draws.ours
+        jitem = our_ds[i]
+        np.testing.assert_array_equal(
+            np.asarray(ritem["seg_mask"]), jitem["seg_mask"], err_msg="seg_mask"
+        )
+        np.testing.assert_allclose(
+            np.asarray(ritem["input"]), jitem["input"], atol=2e-6, err_msg="input"
+        )
+        for key in ("shift", "scale"):
+            np.testing.assert_allclose(
+                np.asarray(ritem[key]), jitem[key], atol=2e-6, err_msg=key
+            )
+
+
+def _supseg_tree(root, S=6, N=64, K=4, seed=50):
+    """Write the reference two-pickle super-segment layout."""
+    import pickle
+
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(S, N, 3).astype(np.float32) * 0.4
+    attn = rng.rand(S, N, K).astype(np.float32)
+    with open(root / "shapenet_pointcloud_pn_aware.pkl", "wb") as f:
+        pickle.dump(pts, f)
+    with open(root / "shapenet_label_pn_aware.pkl", "wb") as f:
+        pickle.dump(attn, f)
+    return str(root)
+
+
+@pytest.mark.parametrize("split,normalize_attn", [("train", False), ("test", True)])
+def test_supseg_getitem_parity(tmp_path, split, normalize_attn):
+    """Reference ``_ShapeNetSegSuperSegment`` deterministic path
+    (shapenet_sup_seg.py:26-143) vs ours: stats-fed pc_norm, 80/20 split,
+    attn softmax, seg argmax, part stats and the global_anchor_mean key."""
+    _install_reference()
+    from difffacto.datasets.shapenet_sup_seg import _ShapeNetSegSuperSegment
+
+    from difffacto_tpu.data.custom import SupSegDataset
+
+    root = _supseg_tree(tmp_path)
+    kw = dict(split=split, part="pn_aware", scale_mode="shape_unit", n_class=4,
+              normalize_attn=normalize_attn)
+    ref_ds = _ShapeNetSegSuperSegment(root, **kw)
+    our_ds = SupSegDataset(root, **kw)
+    assert len(ref_ds) == len(our_ds)
+    np.testing.assert_allclose(
+        ref_ds.stats["part_means"], our_ds.stats["part_means"], atol=1e-6
+    )
+    for i in range(len(ref_ds)):
+        ritem = ref_ds[i]
+        jitem = our_ds[i]
+        for key in ("input", "ref", "attn_map", "shift", "scale",
+                    "part_scale", "part_shift", "global_anchor_mean"):
+            np.testing.assert_allclose(
+                np.asarray(torch.as_tensor(ritem[key])), np.asarray(jitem[key]),
+                atol=3e-6, err_msg=key,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(ritem["seg_mask"]), jitem["seg_mask"]
+        )
+
+
+def test_reference_supseg_contrastive_branch_broken_pinned(tmp_path):
+    """Pin shapenet_sup_seg.py:113-118: the contrastive branch assigns
+    ``pos_input = augment(...)`` — the TUPLE, which torch.stack rejects —
+    and leaves pos_input undefined when the augment_prob draw fails. Ours
+    implements the evident intent (augmented positive, plain fallback)."""
+    import random
+
+    _install_reference()
+    from difffacto.datasets.shapenet_sup_seg import _ShapeNetSegSuperSegment
+
+    root = _supseg_tree(tmp_path)
+    ref_ds = _ShapeNetSegSuperSegment(
+        root, split="train", contrastive_learning=True, augment_prob=1.0
+    )
+    random.seed(0)
+    with pytest.raises(TypeError):
+        ref_ds[0]  # torch.stack over [tensor, tuple, tensor]
+    ref_ds.augment_prob = -1.0  # force the no-augment path: pos_input unbound
+    with pytest.raises(UnboundLocalError):
+        ref_ds[0]
+
+
+def _partglot_tree(root, S=5, NSEG=6, NPT=16, K=4, seed=60):
+    import pickle
+
+    rng = np.random.RandomState(seed)
+    data = {
+        "geos": rng.randn(S, NSEG, NPT, 3).astype(np.float32) * 0.4,
+        "geos_masks": (rng.rand(S, NSEG) > 0.3).astype(np.float32),
+        "attn_maps": rng.rand(S, K, NSEG).astype(np.float32),
+    }
+    with open(root / "partglot_shapenet_seg_out_pn_aware_raw.pkl", "wb") as f:
+        pickle.dump(data, f)
+    return str(root)
+
+
+def test_supseg_partglot_getitem_parity_and_defects(tmp_path):
+    """Reference ``_ShapeNetSegSuperSegmentPartglot`` (first access per
+    index) vs ours, plus two pinned reference defects: in-place cache
+    mutation makes a SECOND access re-normalize already-normalized data
+    (shapenet_sup_seg_partglot.py:55-56), and the 80/20 split forgets to
+    slice geo_mask (:37-42)."""
+    _install_reference()
+    from difffacto.datasets.shapenet_sup_seg_partglot import (
+        _ShapeNetSegSuperSegmentPartglot,
+    )
+
+    from difffacto_tpu.data.custom import SupSegPartglotDataset
+
+    root = _partglot_tree(tmp_path)
+    ref_ds = _ShapeNetSegSuperSegmentPartglot(root, split="all")
+    our_ds = SupSegPartglotDataset(root, split="all")
+    assert len(ref_ds) == len(our_ds)
+    first = {}
+    for i in range(len(ref_ds)):
+        ritem = ref_ds[i]
+        jitem = our_ds[i]
+        for key in ("input", "ref", "geo_mask", "attn_map", "shift", "scale"):
+            np.testing.assert_allclose(
+                np.asarray(torch.as_tensor(ritem[key])), np.asarray(jitem[key]),
+                atol=3e-6, err_msg=key,
+            )
+        np.testing.assert_array_equal(np.asarray(ritem["seg_mask"]), jitem["seg_mask"])
+        first[i] = np.asarray(torch.as_tensor(ritem["input"])).copy()
+
+    # defect 1: the reference's second access re-normalizes the cache; ours
+    # is idempotent
+    again = np.asarray(torch.as_tensor(ref_ds[0]["input"]))
+    assert not np.allclose(again, first[0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(our_ds[0]["input"]), first[0], atol=3e-6)
+
+    # defect 2: the reference test split keeps the FULL-length geo_mask
+    ref_test = _ShapeNetSegSuperSegmentPartglot(root, split="test")
+    assert len(ref_test.geo_mask) != len(ref_test.segs_data)
+    our_test = SupSegPartglotDataset(root, split="test")
+    assert len(our_test.geo_mask) == len(our_test.segs_data)
+
+
 def test_reference_shapenet_seg_cache_unpack_defect_pinned(tree):
     """Pin a reference defect: ``_ShapeNetSeg.__getitem__`` caches a 4-tuple
     (shapenet_seg.py:230) but unpacks only 3 names on a cache hit
