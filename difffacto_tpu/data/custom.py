@@ -210,19 +210,90 @@ class _ArrayPartDataset:
         )
 
 
+class ShapeNetPartsDataset:
+    """Whole-cloud pre-packed tensor dataset (reference
+    shapenet_parts.py:34-66): one torch-saved / npz (S, N, 3) array; each
+    item is resampled and pc_norm'ed (scale_mode None -> identity, the
+    reference default). NO labels — the reference class carries none.
+    Item parity: tests/test_reference_parity_data.py."""
+
+    def __init__(self, path, npoints=2048, scale_mode=None, eval_mode="ae",
+                 seed=0):
+        if path.endswith((".npz", ".npy")):
+            z = np.load(path, allow_pickle=True)
+            self.data = np.asarray(z["points"] if hasattr(z, "files") else z,
+                                   np.float32)
+        else:
+            import torch as _torch
+
+            self.data = _torch.load(path, map_location="cpu",
+                                    weights_only=True).numpy()
+        self.npoints = npoints
+        self.scale_mode = scale_mode
+        self.eval_mode = eval_mode
+        self.save_only = False
+        self.num_class = 1
+        self.class_choice = "Chair"
+        self.using_whole_chair_only = False
+        self.noises: Dict[int, np.ndarray] = {}
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def store_noise(self, all_noises, all_ids):
+        self.noises = {}
+        for noises, ids in zip(all_noises, all_ids):
+            for i, idx in enumerate(np.asarray(ids)):
+                self.noises[int(idx)] = np.asarray(noises[i])
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        pts = self.data[index]
+        choice = self._rng.choice(pts.shape[0], self.npoints, replace=True)
+        pts, shift, scale = pc_norm(pts[choice], self.scale_mode)
+        return {
+            "input": pts,
+            "ref": pts,
+            "shift": shift,
+            "scale": scale,
+            "id": np.int32(index),
+            "token": f"parts_{index}",
+            "noise": self.noises.get(index, np.zeros(1, np.float32)),
+        }
+
+    def evaluate(self, results, save_num_batch, device=None):
+        from ..metrics.eval import evaluate_batches
+
+        return evaluate_batches(
+            results, save_num_batch, eval_mode=self.eval_mode,
+            save_only=self.save_only, num_class=self.num_class,
+            class_choice=self.class_choice,
+        )
+
+
 @DATASETS.register_module()
-def ShapeNetParts(batch_size, path, npoints=2048, n_class=4, shuffle=True,
-                  drop_last=False, split="train", eval_mode="ae", save_only=False,
-                  distributed=False, **kwargs):
-    """Pre-packed tensor file dataset (shapenet_parts.py:34): npz with
-    'points' (S, N, 3) and 'labels' (S, N)."""
-    z = np.load(path, allow_pickle=True)
-    ds = _ArrayPartDataset(
-        np.asarray(z["points"]), np.asarray(z["labels"]), npoints, n_class,
-        eval_mode=eval_mode, save_only=save_only,
-        **{k: v for k, v in kwargs.items() if k in (
-            "scale_mode", "part_scale_mode", "clip", "class_choice")},
-    )
+def ShapeNetParts(batch_size, path=None, root=None, npoints=2048, n_class=4,
+                  shuffle=True, drop_last=False, split="train", eval_mode="ae",
+                  save_only=False, distributed=False, **kwargs):
+    """Whole-cloud tensor dataset (shapenet_parts.py:34). A labels-ful npz
+    ('points' + 'labels') falls back to the packed per-part loader."""
+    src = path or root
+    is_labeled_npz = False
+    if src.endswith(".npz"):
+        z = np.load(src, allow_pickle=True)
+        is_labeled_npz = "labels" in getattr(z, "files", ())
+    if is_labeled_npz:
+        ds = _ArrayPartDataset(
+            np.asarray(z["points"]), np.asarray(z["labels"]), npoints, n_class,
+            eval_mode=eval_mode, save_only=save_only,
+            **{k: v for k, v in kwargs.items() if k in (
+                "scale_mode", "part_scale_mode", "clip", "class_choice")},
+        )
+    else:
+        ds = ShapeNetPartsDataset(
+            src, npoints=npoints, scale_mode=kwargs.get("scale_mode"),
+            eval_mode=eval_mode,
+        )
     return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last,
                       num_workers=int(kwargs.get("num_workers", 0))), None
 
@@ -620,11 +691,13 @@ def ShapeNetPart(batch_size, root, npoints, num_workers=0, scale_mode=None,
                  drop_last=True, n_class=4, **kwargs):
     """Reference alias (shapenet_parts.py:15-27): builds the pre-packed
     tensor dataset from ``root``. The reference factory quirkily returns the
-    bare dataset; here it follows the uniform (loader, sampler) contract."""
+    bare dataset; here it follows the uniform (loader, sampler) contract.
+    scale_mode stays None by default — the reference's identity
+    normalization (pc_norm else-branch), not shape_unit."""
     return ShapeNetParts(
         batch_size, root, npoints=npoints, n_class=n_class, shuffle=shuffle,
         drop_last=drop_last, eval_mode=eval_mode, num_workers=num_workers,
-        scale_mode=scale_mode or "shape_unit", **kwargs,
+        scale_mode=scale_mode, **kwargs,
     )
 
 
@@ -667,11 +740,16 @@ class _ShapeNet55(object):
 
     def __getitem__(self, index):
         pts = np.load(self.files[index]).astype(np.float32)
-        if pts.shape[0] >= self.npoints:
-            sel = self._rng.choice(pts.shape[0], self.npoints, replace=False)
-        else:
-            sel = self._rng.choice(pts.shape[0], self.npoints, replace=True)
-        pts = pts[sel]
+        if pts.shape[0] > self.npoints:
+            # the reference subsample is DETERMINISTIC: a fixed
+            # RandomState(2020) permutation, identical every item and epoch
+            # (misc.py:137-143 filter_points) — kept faithfully
+            pts = pts[np.random.RandomState(2020).permutation(pts.shape[0])[: self.npoints]]
+        elif pts.shape[0] < self.npoints:
+            # the reference returns the short cloud as-is (variable length,
+            # which its loader would fail to collate); we pad by resampling
+            # so batches stay static-shaped — delta documented in PARITY.md
+            pts = pts[self._rng.choice(pts.shape[0], self.npoints, replace=True)]
         pts, shift, scale = pc_norm(pts, self.scale_mode)
         return {
             "input": pts.astype(np.float32),

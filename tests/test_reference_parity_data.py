@@ -348,6 +348,79 @@ def test_supseg_partglot_getitem_parity_and_defects(tmp_path):
     assert len(our_test.geo_mask) == len(our_test.segs_data)
 
 
+def test_shapenet_parts_getitem_parity(tmp_path):
+    """Reference ``ShapeNetParts.__getitem__`` (shapenet_parts.py:34-66) vs
+    ours over the same torch-saved tensor with shared RNG — incl. the
+    identity normalization of the default scale_mode=None."""
+    _install_reference()
+    from difffacto.datasets.shapenet_parts import ShapeNetParts as RefParts
+
+    from difffacto_tpu.data.custom import ShapeNetPartsDataset
+
+    rng = np.random.RandomState(70)
+    pts = rng.randn(4, 300, 3).astype(np.float32)
+    p = str(tmp_path / "parts.pt")
+    torch.save(torch.from_numpy(pts), p)
+
+    for scale_mode in (None, "shape_unit"):
+        ref_ds = RefParts(root=p, npoints=NPOINTS, scale_mode=scale_mode)
+        our_ds = ShapeNetPartsDataset(p, npoints=NPOINTS, scale_mode=scale_mode)
+        assert len(ref_ds) == len(our_ds) == 4
+        for i in range(4):
+            draws = _SharedDraws(400 + i)
+            with draws:
+                ritem = ref_ds[i]
+            our_ds._rng = draws.ours
+            jitem = our_ds[i]
+            np.testing.assert_allclose(
+                np.asarray(ritem["input"]), jitem["input"], atol=2e-6
+            )
+            for key in ("shift", "scale"):
+                np.testing.assert_allclose(
+                    np.asarray(ritem[key]), jitem[key], atol=2e-6, err_msg=key
+                )
+            if scale_mode is None:  # identity norm: input IS the raw sample
+                assert np.abs(jitem["shift"]).max() == 0.0
+                assert (jitem["scale"] == 1.0).all()
+
+
+def test_shapenet55_getitem_parity(tmp_path):
+    """Reference ``_ShapeNet``'s item (shapenet55.py:42-93) vs ours over the
+    same on-disk tree — incl. the DETERMINISTIC fixed-RandomState(2020)
+    subsample (misc.py:137-143 filter_points)."""
+    _install_reference()
+    from difffacto.datasets.shapenet55 import _ShapeNet
+
+    from difffacto_tpu.data.custom import _ShapeNet55
+
+    root = tmp_path / "ShapeNet55"
+    (root).mkdir()
+    (tmp_path / "shapenet_pc").mkdir()
+    rng = np.random.RandomState(80)
+    names = ["03001627-chairA.npy", "03001627-chairB.npy", "02691156-planeA.npy"]
+    for i, n in enumerate(names):
+        np.save(tmp_path / "shapenet_pc" / n,
+                rng.randn(500 + 100 * i, 3).astype(np.float32))
+    with open(root / "train.txt", "w") as f:
+        f.write("\n".join(names) + "\n")
+
+    ref_ds = _ShapeNet(str(root), NPOINTS, "train", scale_mode="shape_unit",
+                       cats=["chair"])
+    our_ds = _ShapeNet55(str(root), NPOINTS, "train", scale_mode="shape_unit",
+                         cats=("chair",))
+    assert len(ref_ds) == len(our_ds) == 2  # the airplane is filtered out
+    for i in range(2):
+        ritem = ref_ds[i]
+        jitem = our_ds[i]
+        np.testing.assert_allclose(
+            np.asarray(ritem["pointcloud"]), jitem["input"], atol=2e-6
+        )
+        for key in ("shift", "scale"):
+            np.testing.assert_allclose(
+                np.asarray(ritem[key]), jitem[key], atol=2e-6, err_msg=key
+            )
+
+
 def test_reference_shapenet_seg_cache_unpack_defect_pinned(tree):
     """Pin a reference defect: ``_ShapeNetSeg.__getitem__`` caches a 4-tuple
     (shapenet_seg.py:230) but unpacks only 3 names on a cache hit
