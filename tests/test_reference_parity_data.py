@@ -421,6 +421,111 @@ def test_shapenet55_getitem_parity(tmp_path):
             )
 
 
+def _write_partnet_tree(root, S=2, NRAW=200, K=4, seed=90):
+    """Minimal coalace-format tree: <cat_id>/<token>.ply + .labels +
+    train_test_split jsons (partnet_dataset.py:78-117)."""
+    import json
+
+    rng = np.random.RandomState(seed)
+    cat = root / "03001627"
+    cat.mkdir(parents=True)
+    (root / "train_test_split").mkdir()
+    tokens = [f"partnet{i:04d}tok" for i in range(S)]
+    for tok in tokens:
+        pts = rng.randn(NRAW, 3).astype(np.float32) * 0.4
+        with open(cat / f"{tok}.ply", "w") as f:
+            f.write(
+                "ply\nformat ascii 1.0\n"
+                f"element vertex {NRAW}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "end_header\n"
+            )
+            for p in pts:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+        # the loader enumerates *ori.ply / *ori.labels pairs
+        (cat / f"{tok}.ply").rename(cat / f"{tok}_ori.ply")
+        labels = rng.randint(1, K + 1, NRAW)
+        np.savetxt(cat / f"{tok}_ori.labels", labels, fmt="%d")
+    for name, toks in (
+        ("shuffled_train_file_list.json", [f"shape_data/03001627/{t}" for t in tokens]),
+        ("shuffled_val_file_list.json", []),
+        ("shuffled_test_file_list.json", []),
+    ):
+        with open(root / "train_test_split" / name, "w") as f:
+            json.dump(toks, f)
+    return str(root)
+
+
+def _install_mini_plydata():
+    """The environment lacks plyfile (stubbed to None by _install_reference);
+    give the already-imported reference module a WORKING ascii reader so
+    _Partnet can execute."""
+    import difffacto.datasets.dataset_utils as rdu
+
+    class _MiniPly:
+        def __init__(self, pts):
+            self._v = {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]}
+
+        def __getitem__(self, key):
+            assert key == "vertex"
+            return self._v
+
+        @staticmethod
+        def read(path):
+            with open(path) as f:
+                lines = f.read().splitlines()
+            n = int(next(l for l in lines if l.startswith("element vertex")).split()[-1])
+            start = lines.index("end_header") + 1
+            pts = np.asarray(
+                [list(map(float, l.split())) for l in lines[start : start + n]],
+                np.float32,
+            )
+            return _MiniPly(pts)
+
+    rdu.PlyData = _MiniPly
+
+
+def test_reference_partnet_defects_pinned(tmp_path):
+    """Execute the reference ``_Partnet`` (partnet_dataset.py:39-220) over a
+    format-faithful miniature tree (ascii .ply via a mini reader — the real
+    plyfile is absent) and pin three defects: (1) ``mask_chosen =
+    valid_seg[choice]`` indexes the WHOLE cloud's labels with part-local
+    indices, so the returned per-part seg_mask rows carry labels from other
+    parts; (2) a part smaller than part_npoints leaves mask_chosen unbound /
+    mis-shaped (UnboundLocalError or broadcast ValueError); (3) the
+    ``augment`` branch references an undefined ``ori_out`` (NameError)."""
+    _install_reference()
+    _install_mini_plydata()
+    from difffacto.datasets.partnet_dataset import _Partnet
+
+    root = _write_partnet_tree(tmp_path / "partnet")
+    ds = _Partnet(root=root, npoints=64, part_npoints=16, split="train",
+                  n_part=4, class_choice="Chair", scale_mode="shape_bbox",
+                  part_scale_mode="shape_canonical")
+    assert len(ds) == 2
+
+    np.random.seed(0)
+    item = ds[0]
+    # defect 1: out_mask row i should be all-i; the bug mixes in other labels
+    out_mask = np.asarray(item["seg_mask"])  # (K, part_npoints)
+    assert any(
+        (out_mask[i] != i).any() and np.asarray(item["present"])[i] == 1
+        for i in range(4)
+    )
+
+    # defect 2: a sub-part_npoints part crashes
+    small = _Partnet(root=root, npoints=64, part_npoints=190, split="train",
+                     n_part=4, class_choice="Chair", scale_mode="shape_bbox",
+                     part_scale_mode="shape_canonical")
+    with pytest.raises((UnboundLocalError, ValueError)):
+        small[0]
+
+    # defect 3: augment path references undefined ori_out
+    ds.augment = True
+    with pytest.raises(NameError):
+        ds[1]
+
+
 def test_reference_shapenet_seg_cache_unpack_defect_pinned(tree):
     """Pin a reference defect: ``_ShapeNetSeg.__getitem__`` caches a 4-tuple
     (shapenet_seg.py:230) but unpacks only 3 names on a cache hit
