@@ -644,6 +644,60 @@ def test_reference_supseg_orchestrator_forward_broken_as_shipped():
         model(pcds, device="cpu")
 
 
+def test_reference_partglot_orchestrator_forward_broken_as_shipped():
+    """networks/anchor_gen_supseg_partglot.py:183 — AnchorDiffGenPartglot's
+    train forward passes code= + pointwise_latent= (+variance/reduce) to
+    training_losses, the same impossible kwarg family as the other
+    secondary orchestrators."""
+    _install_reference()
+    from difffacto.models.networks.anchor_gen_supseg_partglot import (
+        AnchorDiffGenPartglot,
+    )
+
+    K, NSEG, NPT, T = 4, 6, 16, 5
+    torch.manual_seed(16)
+    model = AnchorDiffGenPartglot(
+        encoder=dict(type="SupSegsEncoder", sup_segs_dim=8, part_latent_dim=16),
+        decomposer=dict(
+            type="ComponentMixer", part_latent_dim=16, include_attention=True,
+            include_global_feature=True, nheads=4, mlp_type=0,
+        ),
+        diffusion=dict(
+            type="AnchoredDiffusion",
+            net=dict(type="TransformerNet", in_channels=3, out_channels=3,
+                     n_heads=2, d_head=8, depth=1, context_dim=16),
+            beta_1=1e-4, beta_T=0.02, mode="linear",
+            model_mean_type="epsilon", model_var_type="fixed_small",
+            include_anchors=False,
+        ),
+        sampler=dict(type="Uniform"),
+        num_anchors=K, num_timesteps=T, npoints=NSEG * NPT,
+        loss=dict(type="L2Loss"),
+    ).train()
+    rng = np.random.RandomState(17)
+    pcds = {
+        "input": torch.from_numpy(rng.randn(2, NSEG, NPT, 3).astype(np.float32)),
+        "ref": torch.from_numpy(rng.randn(2, NSEG, NPT, 3).astype(np.float32)),
+        "attn_map": torch.from_numpy(rng.rand(2, K, NSEG).astype(np.float32)),
+        "seg_mask": torch.from_numpy(rng.randint(0, K, (2, NSEG)).astype(np.int64)),
+        "geo_mask": torch.ones(2, NSEG),
+    }
+    with pytest.raises(TypeError):
+        model(pcds, device="cpu")
+
+
+def test_reference_tokenizing_unrunnable_as_shipped():
+    """networks/language_utils/language_util.py:11 loads word2int.pkl from a
+    hardcoded absolute /orion/... path inside EVERY call — the third
+    distinct hardcoded-path site in the language stack. Our
+    models/language.py tokenizing takes an explicit Vocabulary."""
+    _install_reference()
+    from difffacto.models.networks.language_utils.language_util import tokenizing
+
+    with pytest.raises((FileNotFoundError, OSError)):
+        tokenizing("back of chair")
+
+
 def test_reference_partglot_classifier_unbuildable_as_shipped():
     """listener.py:14 — PartglotClassifier loads word2int.pkl from the same
     hardcoded absolute /mnt/disk3/... path as PartLatentEditor, so the
