@@ -651,6 +651,96 @@ class AnchorDiffGenSuperSegments(nn.Module):
         out["assigned_anchor"] = anchor_pp
         return out
 
+    def combine_latent(self, batch, ids) -> Dict[str, jnp.ndarray]:
+        """Assemble ONE shape from K donors: part i's primary latent comes
+        from shape ids[i] (anchor_gen_supseg.py:357-399). The reference
+        branch references undefined ``new_params``/``gts`` (NameError as
+        shipped, pinned); this is the evident intent — diag-mixed latents,
+        ``mixing``-style projection keeping each donor's own shift/scale,
+        equal-split decode."""
+        from .part_encoder import gather_per_point
+
+        ids = jnp.asarray(ids)
+        primary = self.get_primary_latent(
+            {k: batch[k][ids] for k in ("input", "attn_map")}, train=False
+        )  # (K, K, C)
+        mixed = jnp.stack(
+            [primary[i, i] for i in range(self.num_anchors)], 0
+        )[None]  # (1, K, C)
+        variances = proj_anchors = None
+        if self.project_latent:
+            mixed, proj_anchors, scale, _ = self.project_primary_latent(mixed, train=False)
+            if self.learn_var:
+                variances = scale
+        global_feature, dec_anchors, secondary = self.decomposer_mod(mixed, train=False)
+        part_latent = mixed if self.use_primary else secondary
+        anchors = proj_anchors if self.project_latent else dec_anchors
+        if self.use_zero_anchor:
+            anchors = jnp.zeros_like(anchors)
+        assignments = jnp.broadcast_to(
+            jnp.repeat(
+                jnp.arange(self.num_anchors, dtype=jnp.int32), self.points_per_anchor
+            )[None],
+            (1, self.npoints),
+        )
+        anchor_pp = gather_per_point(anchors, assignments)
+        latent_pp = gather_per_point(part_latent, assignments)
+        var_pp = (
+            gather_per_point(variances, assignments) if variances is not None else None
+        )
+        model_fn = self._model_fn(latent_pp, global_feature, train=False)
+        out = self.diff.p_sample_loop(
+            model_fn, self.make_rng("sample"), anchor_pp, variance=var_pp
+        )
+        out["anchors"] = anchors
+        out["seg_mask"] = assignments
+        return out
+
+    def anchor_drift(self, batch, n_drift: int = 10, max_scale: float = 2.0
+                     ) -> Dict[str, jnp.ndarray]:
+        """Shift each shape's anchors along random unit directions at
+        ``n_drift`` magnitudes, re-embed through the projection, decode
+        (anchor_gen_supseg.py:567-610)."""
+        from .part_encoder import gather_per_point
+
+        assert self.project_latent, "anchor_drift needs the latent projection"
+        seg = batch["seg_mask"].astype(jnp.int32)
+        B = batch["input"].shape[0]
+        primary = self.get_primary_latent(batch, train=False)
+        intrinsic, extrinsic = self.projection.down(primary)
+        anchors = extrinsic[..., :3]
+        direction = jax.random.normal(
+            self.make_rng("sample"), (B, n_drift, self.num_anchors, 1)
+        )
+        direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+        scales = jnp.linspace(0.0, max_scale, n_drift).reshape(1, -1, 1, 1)
+        shifted = (direction * scales + anchors[:, None]).reshape(
+            B * n_drift, self.num_anchors, 3
+        )
+        intr = jnp.repeat(intrinsic, n_drift, axis=0)
+        lat = jnp.repeat(primary, n_drift, axis=0)
+        params = (
+            jnp.concatenate([shifted, jnp.zeros_like(shifted)], -1)
+            if self.learn_var
+            else shifted
+        )
+        lat = self.projection.up(intr, params, lat, deterministic=True)
+        global_feature, _, part_latent = self.decomposer_mod(lat, train=False)
+        if self.use_primary:
+            part_latent = lat
+        multiple = self.npoints // seg.shape[1]
+        assignments = jnp.repeat(jnp.repeat(seg, n_drift, axis=0), multiple, axis=1)
+        anchor_pp = gather_per_point(shifted, assignments)
+        latent_pp = gather_per_point(part_latent, assignments)
+        model_fn = self._model_fn(latent_pp, global_feature, train=False)
+        out = self.diff.p_sample_loop(model_fn, self.make_rng("sample"), anchor_pp)
+        return {
+            "pred": out["pred"].reshape(B, n_drift, self.npoints, 3),
+            "anchors": shifted.reshape(B, n_drift, self.num_anchors, 3),
+            "input": batch["input"],
+            "seg_mask": seg,
+        }
+
     def interpolate_latent(self, batch, id1: int, id2: int, anchor_id: int,
                            steps: int = 10) -> Dict[str, jnp.ndarray]:
         """Interpolate ONE part's primary latent between two shapes

@@ -644,6 +644,55 @@ def test_reference_supseg_orchestrator_forward_broken_as_shipped():
         model(pcds, device="cpu")
 
 
+def test_reference_supseg_combine_and_drift_branches_broken_as_shipped():
+    """anchor_gen_supseg.py:819-823 — the eval forward's combine and
+    drift_anchors branches pass a variable ``x`` that forward never defines
+    (NameError before any math); combine_latent additionally references
+    undefined ``new_params``/``gts`` (anchor_gen_supseg.py:382-388). Our
+    models/editors.py implements the evident intents (combine_latent,
+    anchor_drift) directly on the batch."""
+    _install_reference()
+    from difffacto.models.networks.anchor_gen_supseg import (
+        AnchorDiffGenSuperSegments,
+    )
+
+    K, N, T = 4, 32, 5
+    torch.manual_seed(18)
+    model = AnchorDiffGenSuperSegments(
+        encoder=dict(type="PCN", point_dim=3 + K, part_latent_dim=16),
+        decomposer=dict(
+            type="ComponentMixer", part_latent_dim=16, include_attention=True,
+            include_global_feature=True, nheads=4, mlp_type=0,
+        ),
+        diffusion=dict(
+            type="AnchoredDiffusion",
+            net=dict(type="TransformerNet", in_channels=3, out_channels=3,
+                     n_heads=2, d_head=8, depth=1, context_dim=16),
+            beta_1=1e-4, beta_T=0.02, mode="linear",
+            model_mean_type="epsilon", model_var_type="fixed_small",
+            include_anchors=False,
+        ),
+        sampler=dict(type="Uniform"),
+        num_anchors=K, num_timesteps=T, npoints=N,
+        loss=dict(type="NegativeGaussianLogLikelihood"), combine=True,
+    ).eval()
+    rng = np.random.RandomState(19)
+    seg = rng.randint(0, K, (2, N))
+    pcds = {
+        "input": torch.from_numpy(rng.randn(2, N, 3).astype(np.float32)),
+        "ref": torch.from_numpy(rng.randn(2, N, 3).astype(np.float32)),
+        "attn_map": torch.from_numpy(np.eye(K, dtype=np.float32)[seg]),
+        "seg_mask": torch.from_numpy(seg.astype(np.int64)),
+        "shift": torch.zeros(2, 1, 3), "scale": torch.ones(2, 1, 1),
+    }
+    with pytest.raises(NameError):
+        model(pcds, device="cpu")
+    model.combine = False
+    model.drift_anchors = True
+    with pytest.raises(NameError):
+        model(pcds, device="cpu")
+
+
 def test_reference_partglot_orchestrator_forward_broken_as_shipped():
     """networks/anchor_gen_supseg_partglot.py:183 — AnchorDiffGenPartglot's
     train forward passes code= + pointwise_latent= (+variance/reduce) to

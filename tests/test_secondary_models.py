@@ -311,6 +311,29 @@ class TestAnchorDiffGenSuperSegments:
         assert out["pred"].shape == (10, 32, 3)
         assert np.isfinite(np.asarray(out["pred"])).all()
 
+    def test_combine_and_anchor_drift(self):
+        from difffacto_tpu.models import AnchorDiffGenSuperSegments
+        from test_model import tiny_batch
+
+        model = self._model(project_latent=True, learn_var=True)
+        batch = tiny_batch(B=4)
+        vs = jax.jit(
+            lambda r, b: model.init(r, b, 0, method=AnchorDiffGenSuperSegments.loss)
+        )(RNGS, batch)
+        out = model.apply(
+            vs, batch, [0, 1, 2, 3],
+            method=AnchorDiffGenSuperSegments.combine_latent,
+            rngs={"sample": jax.random.PRNGKey(8)},
+        )
+        assert out["pred"].shape == (1, 32, 3)
+        assert np.isfinite(np.asarray(out["pred"])).all()
+        drift = model.apply(
+            vs, batch, 3, method=AnchorDiffGenSuperSegments.anchor_drift,
+            rngs={"sample": jax.random.PRNGKey(9)},
+        )
+        assert drift["pred"].shape == (4, 3, 32, 3)
+        assert np.isfinite(np.asarray(drift["pred"])).all()
+
 
 class TestSupsegEncoders:
     def test_supsegs_encoder(self):
