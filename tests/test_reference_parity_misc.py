@@ -104,6 +104,58 @@ def test_assign_anchor_and_parse_losses_parity():
     assert float(j_total) == pytest.approx(float(t_total), rel=1e-6)
 
 
+def test_pointnet2_geometry_ops_parity():
+    """encoders/pointnet2_utils.py — the reference's PURE-torch spec of the
+    geometry ops (the CUDA kernels implement the same contract): FPS index
+    trajectories (torch.randint patched to 0 to match the CUDA
+    start-at-index-0 convention our ops follow), fixed-radius ball query
+    incl. the first-in-radius slack fill, and index gathering."""
+    from unittest import mock
+
+    _install_reference()
+    from difffacto.models.encoders.pointnet2_utils import (
+        farthest_point_sample as ref_fps,
+    )
+    from difffacto.models.encoders.pointnet2_utils import index_points
+    from difffacto.models.encoders.pointnet2_utils import (
+        query_ball_point as ref_ball,
+    )
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from difffacto_tpu.ops.points import (
+        ball_query,
+        furthest_point_sample,
+        gather_points_nd,
+    )
+
+    rng = np.random.RandomState(3)
+    xyz = rng.randn(2, 128, 3).astype(np.float32)
+    xt = torch.from_numpy(xyz)
+
+    with mock.patch("torch.randint", side_effect=lambda *a, **k: torch.zeros(a[2], dtype=torch.long)):
+        ref_idx = ref_fps(xt, 32).numpy()
+    our_idx = np.asarray(furthest_point_sample(jnp.asarray(xyz), 32))
+    np.testing.assert_array_equal(our_idx, ref_idx)
+
+    centers_idx = ref_idx[:, :8]
+    centers = np.take_along_axis(xyz, centers_idx[..., None], axis=1)
+    ref_groups = ref_ball(0.5, 16, xt, torch.from_numpy(centers)).numpy()
+    our_groups = np.asarray(
+        ball_query(jnp.asarray(centers), jnp.asarray(xyz), 0.5, 16)
+    )
+    np.testing.assert_array_equal(our_groups, ref_groups)
+
+    gathered_ref = index_points(xt, torch.from_numpy(centers_idx.astype(np.int64))).numpy()
+    gathered_ours = np.asarray(
+        gather_points_nd(jnp.asarray(xyz), jnp.asarray(centers_idx.astype(np.int32)))
+    )
+    np.testing.assert_allclose(gathered_ours, gathered_ref, atol=0)
+
+
 def test_reference_dead_misc_helper_defective_pinned():
     """pad_unmasked_element_by_zero applies python ``not`` to a multi-element
     tensor — RuntimeError for any real mask (misc.py:102-108; called
