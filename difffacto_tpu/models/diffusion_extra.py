@@ -95,13 +95,22 @@ def LatentDiffusionDrift(
     beta_1: float = 1e-4,
     beta_T: float = 0.02,
     mode: str = "linear",
-    use_beta: bool = True,
-    model_mean_type: str = "drifted_epsilon2",
+    use_beta: bool = False,  # the drift class's own default (drift:22)
+    rescale_timesteps: bool = False,
+    loss_type: str = "mse",
+    model_mean_type: str = "epsilon",
     model_var_type: str = "fixed_small",
+    classifier_weight: float = 1.0,
     **_,
 ) -> AnchoredDiffusion:
-    """Drift-parameterized latent diffusion (latent_diffusion_drift.py:13):
-    the anchored process with learned anchors kept but drifted-eps targets."""
+    """'Drift' latent diffusion (latent_diffusion_drift.py:13-466). Despite
+    the name, the SHIPPED math is a VANILLA chain: training q_samples with a
+    ZERO prior (latent_diffusion_drift.py:480) and p_mean_variance zeroes
+    the prior before every mean-type branch (:219), so prior/code only
+    CONDITION the net — with classifier-free guidance mixed at
+    classifier_weight (:196-198). Configured accordingly; the anchored
+    q_sample form its q_sample would compute with a nonzero prior is
+    exactly AnchoredDiffusion's (k=1), available via the flagship class."""
     return AnchoredDiffusion(
         num_timesteps=num_timesteps,
         beta_1=beta_1,
@@ -110,11 +119,14 @@ def LatentDiffusionDrift(
         res=False,
         mode=mode,
         use_beta=use_beta,
-        loss_type="mse",
+        rescale_timesteps=rescale_timesteps,
+        loss_type=loss_type,
         model_mean_type=model_mean_type,
         model_var_type=model_var_type,
         include_anchors=False,
-        learn_anchor=True,
+        learn_anchor=False,
         learn_variance=False,
+        guidance=classifier_weight != 1.0,
+        classifier_weight=classifier_weight,
         net=net,
     )

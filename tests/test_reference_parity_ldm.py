@@ -201,6 +201,107 @@ def test_ldm_p_mean_variance_parity():
         )
 
 
+def test_drift_latent_diffusion_math_parity():
+    """latent_diffusion_drift.py:105-467 vs our LatentDiffusionDrift
+    configuration: despite its name the shipped math is a VANILLA chain
+    (training q_samples with a ZERO prior, :480; p_mean_variance zeroes the
+    prior, :219) with classifier-free guidance over (prior, code)
+    conditioning. Checked with an identical analytic net on both sides:
+    q_sample, the training loss, and the guided p_mean_variance posterior."""
+    _alias_stale_anchor_diff()
+    import difffacto.models.diffusions.latent_diffusion_drift as drift_mod
+
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto_tpu.models.diffusion_extra import LatentDiffusionDrift
+
+    W = np.random.RandomState(41).randn(C, C).astype(np.float32) * 0.3
+    V = np.random.RandomState(42).randn(C, C).astype(np.float32) * 0.3
+
+    class _AnalyticNet(torch.nn.Module):
+        def forward(self, x, t, prior, code, part_indicator=None):
+            # x/prior/code channel-first (B, C, K)
+            h = torch.einsum("bck,cd->bdk", x, torch.from_numpy(W))
+            h = h + torch.einsum("bck,cd->bdk", prior + code, torch.from_numpy(V))
+            return torch.sin(h) + 0.1 * x
+
+    torch.manual_seed(43)
+    ref = drift_mod.LatentDiffusionDrift(
+        net=dict(type="LDMNet", use_linear=True, in_channels=C, n_heads=2,
+                 d_head=8, out_channels=C, depth=1, context_dim=None,
+                 single_attn=True, mask_out_unreferenced_code=True),
+        num_timesteps=T, beta_1=1e-4, beta_T=0.05, classifier_weight=2.0,
+    ).eval()
+    ref.model = _AnalyticNet()
+
+    ours = LatentDiffusionDrift(
+        num_timesteps=T, beta_1=1e-4, beta_T=0.05, classifier_weight=2.0
+    )
+
+    rng = np.random.RandomState(44)
+    x = rng.randn(B, K, C).astype(np.float32)
+    prior = rng.randn(B, K, C).astype(np.float32)
+    code = rng.randn(B, K, C).astype(np.float32)
+    noise = rng.randn(B, K, C).astype(np.float32)
+    t = np.asarray([1, 4, 8], np.int64)
+
+    def model_fn(inp, ts, ctx, anc, var, seg, vid):
+        p, c = ctx
+        h = jnp.einsum("bkc,cd->bkd", inp, jnp.asarray(W))
+        h = h + jnp.einsum("bkc,cd->bkd", p + c, jnp.asarray(V))
+        return jnp.sin(h) + 0.1 * inp
+
+    cf = lambda a: torch.from_numpy(a.transpose(0, 2, 1))
+
+    # q_sample with a ZERO prior (the shipped training path)
+    xt_ref = ref.q_sample(cf(x), torch.from_numpy(t), torch.zeros_like(cf(x)),
+                          noise=cf(noise))
+    xt_ours = ours.q_sample(None, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+                            jnp.zeros((B, K, C)), noise=jnp.asarray(noise))
+    np.testing.assert_allclose(
+        np.asarray(xt_ours), xt_ref.numpy().transpose(0, 2, 1), atol=1e-5
+    )
+
+    # training_losses is ALSO broken as shipped: the target dict eagerly
+    # evaluates its PREVIOUS_X entry, whose q_posterior_mean_variance call
+    # omits the required prior arg — TypeError for EVERY mean type
+    # (latent_diffusion_drift.py:488-490). Pin, then compare against the
+    # intended epsilon-mse rebuilt from the reference's own pieces.
+    with torch.no_grad():
+        with pytest.raises(TypeError):
+            ref.training_losses(cf(x), torch.from_numpy(t), cf(prior), cf(code),
+                                noise=cf(noise))
+        ref_out = ref.model(xt_ref, ref._scale_timesteps(torch.from_numpy(t)),
+                            cf(prior), cf(code))
+        want = ((cf(noise) - ref_out) ** 2).mean(dim=(1, 2)).numpy()
+    our_losses = ours.training_losses(
+        model_fn, jax.random.PRNGKey(0), jnp.asarray(x),
+        jnp.asarray(t, jnp.int32), anchors=jnp.zeros((B, K, C)),
+        ctx=(jnp.asarray(prior), jnp.asarray(code)), noise=jnp.asarray(noise),
+        reduce=False,
+    )
+    got = np.asarray(our_losses["mse_loss"]).reshape(B, -1).mean(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # guided posterior: uncond leg zeroes prior AND code on both sides
+    with torch.no_grad():
+        out_ref = ref.p_mean_variance(cf(x), torch.from_numpy(t), cf(prior), cf(code))
+    out_ours = ours.p_mean_variance(
+        model_fn, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+        jnp.zeros((B, K, C)), ctx=(jnp.asarray(prior), jnp.asarray(code)),
+    )
+    for key in ("mean", "pred_xstart", "log_variance"):
+        np.testing.assert_allclose(
+            np.asarray(out_ours[key]),
+            out_ref[key].numpy().transpose(0, 2, 1)
+            if out_ref[key].ndim == 3
+            else out_ref[key].numpy(),
+            atol=1e-4,
+            err_msg=key,
+        )
+
+
 def test_reference_latent_diff_edit_unbuildable_as_shipped():
     """networks/latent_diffusion.py:35 injects ``num_part=num_anchors`` into
     the diffusion build — a kwarg NEITHER latent diffusion's __init__
