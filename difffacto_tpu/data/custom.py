@@ -22,7 +22,27 @@ from ..utils.registry import DATASETS
 from .dataset_utils import CroppingDataLoader, DataLoader, pc_norm
 
 
-class CustomDatasetImpl:
+class _PartEvalMixin:
+    """Shared CIMLE-noise store + eval dispatch for the dataset classes in
+    this module (each sets eval_mode/save_only/num_class/class_choice)."""
+
+    def store_noise(self, all_noises, all_ids):
+        self.noises = {}
+        for noises, ids in zip(all_noises, all_ids):
+            for i, idx in enumerate(np.asarray(ids)):
+                self.noises[int(idx)] = np.asarray(noises[i])
+
+    def evaluate(self, results, save_num_batch, device=None):
+        from ..metrics.eval import evaluate_batches
+
+        return evaluate_batches(
+            results, save_num_batch, eval_mode=self.eval_mode,
+            save_only=self.save_only, num_class=self.num_class,
+            class_choice=self.class_choice,
+        )
+
+
+class CustomDatasetImpl(_PartEvalMixin):
     """Synthesized-dump dataset (reference datasets/custom.py:16-92): each
     item is resampled, shape-normalized, then PER-PART canonically
     normalized with the Parts semantics (>=10-point threshold, std==0 ->
@@ -58,12 +78,6 @@ class CustomDatasetImpl:
 
     def __len__(self):
         return self.pred.shape[0]
-
-    def store_noise(self, all_noises, all_ids):
-        self.noises = {}
-        for noises, ids in zip(all_noises, all_ids):
-            for i, idx in enumerate(np.asarray(ids)):
-                self.noises[int(idx)] = np.asarray(noises[i])
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         K = self.n_class
@@ -108,15 +122,6 @@ class CustomDatasetImpl:
             "noise": self.noises.get(index, np.zeros(1, np.float32)),
         }
 
-    def evaluate(self, results, save_num_batch, device=None):
-        from ..metrics.eval import evaluate_batches
-
-        return evaluate_batches(
-            results, save_num_batch, eval_mode=self.eval_mode,
-            save_only=self.save_only, num_class=self.num_class,
-            class_choice=self.class_choice,
-        )
-
 
 @DATASETS.register_module()
 def CustomDataset(batch_size, path=None, data_dir=None, npoints=2048, n_class=4,
@@ -132,7 +137,7 @@ def CustomDataset(batch_size, path=None, data_dir=None, npoints=2048, n_class=4,
     return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last), None
 
 
-class _ArrayPartDataset:
+class _ArrayPartDataset(_PartEvalMixin):
     """Shared base: (num_shapes, N, 3) points + (num_shapes, N) labels."""
 
     def __init__(self, points, labels, npoints, n_class, scale_mode="shape_unit",
@@ -155,12 +160,6 @@ class _ArrayPartDataset:
 
     def __len__(self):
         return self.points.shape[0]
-
-    def store_noise(self, all_noises, all_ids):
-        self.noises = {}
-        for noises, ids in zip(all_noises, all_ids):
-            for i, idx in enumerate(np.asarray(ids)):
-                self.noises[int(idx)] = np.asarray(noises[i])
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         pts_full = self.points[index]
@@ -200,17 +199,8 @@ class _ArrayPartDataset:
             "noise": self.noises.get(index, np.zeros(1, np.float32)),
         }
 
-    def evaluate(self, results, save_num_batch, device=None):
-        from ..metrics.eval import evaluate_batches
 
-        return evaluate_batches(
-            results, save_num_batch, eval_mode=self.eval_mode,
-            save_only=self.save_only, num_class=self.num_class,
-            class_choice=self.class_choice,
-        )
-
-
-class ShapeNetPartsDataset:
+class ShapeNetPartsDataset(_PartEvalMixin):
     """Whole-cloud pre-packed tensor dataset (reference
     shapenet_parts.py:34-66): one torch-saved / npz (S, N, 3) array; each
     item is resampled and pc_norm'ed (scale_mode None -> identity, the
@@ -218,8 +208,10 @@ class ShapeNetPartsDataset:
     Item parity: tests/test_reference_parity_data.py."""
 
     def __init__(self, path, npoints=2048, scale_mode=None, eval_mode="ae",
-                 seed=0):
-        if path.endswith((".npz", ".npy")):
+                 seed=0, _preloaded=None):
+        if _preloaded is not None:  # factory already opened the file
+            self.data = np.asarray(_preloaded, np.float32)
+        elif path.endswith((".npz", ".npy")):
             z = np.load(path, allow_pickle=True)
             self.data = np.asarray(z["points"] if hasattr(z, "files") else z,
                                    np.float32)
@@ -241,12 +233,6 @@ class ShapeNetPartsDataset:
     def __len__(self):
         return self.data.shape[0]
 
-    def store_noise(self, all_noises, all_ids):
-        self.noises = {}
-        for noises, ids in zip(all_noises, all_ids):
-            for i, idx in enumerate(np.asarray(ids)):
-                self.noises[int(idx)] = np.asarray(noises[i])
-
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         pts = self.data[index]
         choice = self._rng.choice(pts.shape[0], self.npoints, replace=True)
@@ -261,15 +247,6 @@ class ShapeNetPartsDataset:
             "noise": self.noises.get(index, np.zeros(1, np.float32)),
         }
 
-    def evaluate(self, results, save_num_batch, device=None):
-        from ..metrics.eval import evaluate_batches
-
-        return evaluate_batches(
-            results, save_num_batch, eval_mode=self.eval_mode,
-            save_only=self.save_only, num_class=self.num_class,
-            class_choice=self.class_choice,
-        )
-
 
 @DATASETS.register_module()
 def ShapeNetParts(batch_size, path=None, root=None, npoints=2048, n_class=4,
@@ -278,11 +255,10 @@ def ShapeNetParts(batch_size, path=None, root=None, npoints=2048, n_class=4,
     """Whole-cloud tensor dataset (shapenet_parts.py:34). A labels-ful npz
     ('points' + 'labels') falls back to the packed per-part loader."""
     src = path or root
-    is_labeled_npz = False
+    z = None
     if src.endswith(".npz"):
         z = np.load(src, allow_pickle=True)
-        is_labeled_npz = "labels" in getattr(z, "files", ())
-    if is_labeled_npz:
+    if z is not None and "labels" in getattr(z, "files", ()):
         ds = _ArrayPartDataset(
             np.asarray(z["points"]), np.asarray(z["labels"]), npoints, n_class,
             eval_mode=eval_mode, save_only=save_only,
@@ -290,9 +266,12 @@ def ShapeNetParts(batch_size, path=None, root=None, npoints=2048, n_class=4,
                 "scale_mode", "part_scale_mode", "clip", "class_choice")},
         )
     else:
+        pre = None
+        if z is not None:
+            pre = z["points"] if "points" in getattr(z, "files", ()) else None
         ds = ShapeNetPartsDataset(
             src, npoints=npoints, scale_mode=kwargs.get("scale_mode"),
-            eval_mode=eval_mode,
+            eval_mode=eval_mode, _preloaded=pre,
         )
     return DataLoader(ds, batch_size=batch_size, shuffle=shuffle, drop_last=drop_last,
                       num_workers=int(kwargs.get("num_workers", 0))), None
@@ -319,7 +298,7 @@ def _augment_parts(rng, pts, seg, n_class, vertical_only=True, shift_only=False)
     return out, np.concatenate(scales, 0), np.concatenate(shifts, 0)
 
 
-class SupSegDataset:
+class SupSegDataset(_PartEvalMixin):
     """PartGlot super-segment shapes (reference shapenet_sup_seg.py:26-176):
     two pickles (``shapenet_pointcloud_{part}.pkl`` (S, N, 3) +
     ``shapenet_label_{part}.pkl`` (S, N, n_class) attn maps), an 80/20
@@ -391,12 +370,6 @@ class SupSegDataset:
 
     def __len__(self):
         return len(self.segs_data)
-
-    def store_noise(self, all_noises, all_ids):
-        self.noises = {}
-        for noises, ids in zip(all_noises, all_ids):
-            for i, idx in enumerate(np.asarray(ids)):
-                self.noises[int(idx)] = np.asarray(noises[i])
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         rng = self._rng
@@ -471,17 +444,8 @@ class SupSegDataset:
         out["global_anchor_mean"] = (self.stats["part_means"] - shift) / scale
         return out
 
-    def evaluate(self, results, save_num_batch, device=None):
-        from ..metrics.eval import evaluate_batches
 
-        return evaluate_batches(
-            results, save_num_batch, eval_mode=self.eval_mode,
-            save_only=self.save_only, num_class=self.num_class,
-            class_choice=self.class_choice,
-        )
-
-
-class SupSegPartglotDataset:
+class SupSegPartglotDataset(_PartEvalMixin):
     """PartGlot raw super-segment games (reference
     shapenet_sup_seg_partglot.py:23-80): one pickle with geos
     (S, n_seg, npoint, 3), geos_masks (S, n_seg) validity and attn_maps
@@ -517,10 +481,6 @@ class SupSegPartglotDataset:
         self.vertical_only = vertical_only
         self.noises: Dict[int, np.ndarray] = {}
         self._rng = np.random.RandomState(seed)
-        self.stats = {
-            "mean": self.segs_data.reshape(-1, 3).mean(0),
-            "std": self.segs_data.reshape(-1).std(),
-        }
         num_train = int(len(self.segs_data) * 0.8)
         sl = slice(None)
         if split == "train":
@@ -531,15 +491,16 @@ class SupSegPartglotDataset:
         self.segs_data = self.segs_data[sl]
         self.attn_map = self.attn_map[sl]
         self.geo_mask = self.geo_mask[sl]  # reference forgets this slice
+        # stats come AFTER the split here — unlike SupSegDataset, the
+        # reference partglot variant calls get_stats post-slice
+        # (shapenet_sup_seg_partglot.py:43-44)
+        self.stats = {
+            "mean": self.segs_data.reshape(-1, 3).mean(0),
+            "std": self.segs_data.reshape(-1).std(),
+        }
 
     def __len__(self):
         return len(self.segs_data)
-
-    def store_noise(self, all_noises, all_ids):
-        self.noises = {}
-        for noises, ids in zip(all_noises, all_ids):
-            for i, idx in enumerate(np.asarray(ids)):
-                self.noises[int(idx)] = np.asarray(noises[i])
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         geos = self.segs_data[idx].copy()  # the reference mutates the cache
@@ -571,15 +532,6 @@ class SupSegPartglotDataset:
                 vertical_only=self.vertical_only,
             )[0].reshape(geos.shape)
         return out
-
-    def evaluate(self, results, save_num_batch, device=None):
-        from ..metrics.eval import evaluate_batches
-
-        return evaluate_batches(
-            results, save_num_batch, eval_mode=self.eval_mode,
-            save_only=self.save_only, num_class=self.num_class,
-            class_choice=self.class_choice,
-        )
 
 
 @DATASETS.register_module()

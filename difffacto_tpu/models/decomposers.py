@@ -66,10 +66,11 @@ class GraphAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        W = self.param(
-            "W", nn.initializers.xavier_uniform(), (self.in_features, self.out_features)
-        )
-        a = self.param("a", nn.initializers.xavier_uniform(), (2 * self.out_features, 1))
+        # reference inits both with xavier_uniform gain=1.414 (common.py:86-89)
+        # = variance_scaling(gain^2 ~ 2.0, fan_avg, uniform)
+        init = nn.initializers.variance_scaling(2.0, "fan_avg", "uniform")
+        W = self.param("W", init, (self.in_features, self.out_features))
+        a = self.param("a", init, (2 * self.out_features, 1))
         Wh = jnp.einsum("bni,ij->bnj", x, W)
         Wh1 = jnp.einsum("bni,ij->bnj", Wh, a[: self.out_features])  # (B, N, 1)
         Wh2 = jnp.einsum("bni,ij->bnj", Wh, a[self.out_features :])
@@ -164,17 +165,38 @@ class ComponentMixer(nn.Module):
                     h.reshape(B, -1)
                 )
             else:
-                # mixer.py:228-246 — note the reference's aggregator_mlp
-                # declares BatchNorm1d(part_latent_dim) on a 256-wide tensor
-                # and only typechecks when C == 256.
+                # mixer.py:228-246,283-286: aggregator = BN(C)+ReLU+Conv(256)
+                # +BN+ReLU+Conv(C) over tokens, max over K, then
+                # aggregator_mlp = Linear(256)+BN+ReLU+Linear(256)+BN+ReLU+
+                # Linear(C). The reference's aggregator_mlp declares its
+                # first BN as BatchNorm1d(part_latent_dim) on a 256-wide
+                # tensor — it only typechecks when C == 256, which this
+                # faithful layout inherits by construction.
                 g = nn.relu(
-                    TorchBatchNorm(dtype=self.dtype)(
-                        nn.Dense(256, dtype=self.dtype, name="agg_c1")(h),
-                        use_running_average=not train,
+                    TorchBatchNorm(dtype=self.dtype, name="agg_bn0")(
+                        h, use_running_average=not train
+                    )
+                )
+                g = nn.Dense(256, dtype=self.dtype, name="agg_c1")(g)
+                g = nn.relu(
+                    TorchBatchNorm(dtype=self.dtype, name="agg_bn1")(
+                        g, use_running_average=not train
                     )
                 )
                 g = jnp.max(nn.Dense(C, dtype=self.dtype, name="agg_c2")(g), axis=1)
-                global_feature = MLP([256, 256, C], dtype=self.dtype, name="aggregator_mlp")(g)
+                g = nn.Dense(256, dtype=self.dtype, name="agg_m1")(g)
+                g = nn.relu(
+                    TorchBatchNorm(dtype=self.dtype, name="agg_mbn1")(
+                        g, use_running_average=not train
+                    )
+                )
+                g = nn.Dense(256, dtype=self.dtype, name="agg_m2")(g)
+                g = nn.relu(
+                    TorchBatchNorm(dtype=self.dtype, name="agg_mbn2")(
+                        g, use_running_average=not train
+                    )
+                )
+                global_feature = nn.Dense(C, dtype=self.dtype, name="agg_m3")(g)
         if self.normalize_latent:
             if global_feature is not None:
                 global_feature = global_feature / jnp.maximum(

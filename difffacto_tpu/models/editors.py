@@ -387,6 +387,9 @@ class AnchorDiffGenSuperSegments(nn.Module):
     anchor_loss_weight: float = 1.0
     anchor_weight_annealing: bool = False
     annealing_epoch: int = 500
+    # NOTE: the config field name mirrors the reference kwarg and SHADOWS
+    # the loss() method on instances — always invoke via
+    # method=<Class>.loss (never method='loss' or instance.loss()).
     loss: Optional[dict] = None
     include_attn_weight_in_encoder: bool = True
     guidance: bool = False
@@ -470,7 +473,9 @@ class AnchorDiffGenSuperSegments(nn.Module):
         if self.learn_var:
             shift, scale = extrinsic[..., :3], extrinsic[..., 3:]
         else:
-            shift, scale = extrinsic, jnp.zeros_like(extrinsic)
+            # the reference's non-learn_var scale is ONES pre-exponentiation
+            # (anchor_gen_supseg.py:648), i.e. a constant e after exp
+            shift, scale = extrinsic, jnp.ones_like(extrinsic)
         part_shifts = jnp.zeros((B, 1, 3), latent.dtype)
         part_scales = jnp.ones((B, 1, 3), latent.dtype)
         if train and self.global_shift:

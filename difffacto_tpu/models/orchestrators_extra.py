@@ -151,6 +151,9 @@ class AnchoredGeneration(nn.Module):
     num_timesteps: int
     npoints: int = 2048
     anchor_loss_weight: float = 1.0
+    # NOTE: the config field name mirrors the reference kwarg and SHADOWS
+    # the loss() method on instances — always invoke via
+    # method=<Class>.loss (never method='loss' or instance.loss()).
     loss: Optional[dict] = None  # METRICS cfg for the anchor loss
     include_attn_weight_in_encoder: bool = True
     guidance: bool = False

@@ -255,9 +255,13 @@ def _emd_hybrid_kernel(
     else:
         # Chunked driver: the dynamic-exit while_loop costs a scalar-core
         # sync per iteration; running ``auction_chunk`` rounds per while
-        # body amortizes that seam while keeping a coarse early exit
-        # (granularity = chunk; overshoot rounds are converged no-ops).
-        n_chunks = (auction_iters + auction_chunk - 1) // auction_chunk
+        # body amortizes that seam while keeping a coarse early exit.
+        # The while covers the full chunks only; the static remainder runs
+        # after it so the TOTAL bid rounds never exceed auction_iters even
+        # on never-converging inputs (extra remainder rounds after
+        # convergence are no-ops).
+        n_chunks = auction_iters // auction_chunk
+        remainder = auction_iters - n_chunks * auction_chunk
 
         def auc_cond(st):
             c, n_unass = st
@@ -271,6 +275,10 @@ def _emd_hybrid_kernel(
             return c + 1, n_unass
 
         jax.lax.while_loop(auc_cond, auc_body, (jnp.int32(0), jnp.int32(n)))
+        if remainder:
+            jax.lax.fori_loop(
+                0, remainder, lambda i, u: one_auction_iter(u), jnp.int32(n)
+            )
 
     # force-assign stragglers to their best object (reference 'last' flag)
     def force_t(t, c):

@@ -354,6 +354,10 @@ def subsample_params(mean, logvar, valid_id, num, rng=None, return_ids=False,
     logvar = np.asarray(logvar, np.float64)
     valid_id = np.asarray(valid_id, np.float64)
     B, C, Kc, _ = mean.shape
+    if num > C:
+        raise ValueError(
+            f"subsample_params: requested {num} candidates but only {C} exist"
+        )
     rng = rng or np.random.RandomState(0)
     if _point_draws is None:
         _point_draws = rng.standard_normal((B, C, 512, Kc, 3))
@@ -463,6 +467,10 @@ def sample_one_part(
         [jnp.asarray(gt_mean), jnp.asarray(gt_logvar)], axis=-1
     )[:, None, None]  # (S,1,1,K_cls,6)
     P = 1 if fix_size else max(1, param_sample_num)
+    if P > Kn:
+        raise ValueError(
+            f"sample_one_part: param_sample_num={P} exceeds noise_search={Kn} candidates"
+        )
     if fix_size:
         fit = ((jnp.concatenate([mean, logvar], axis=-1) - gt) ** 2).sum(-1)
         fit = fit * jnp.asarray(valid_id)[:, None, None, :]

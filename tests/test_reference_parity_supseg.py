@@ -315,6 +315,65 @@ def test_coarse_pcn_parity():
     np.testing.assert_allclose(got, out["pred"].detach().numpy(), atol=2e-5)
 
 
+def test_component_mixer_global_type1_parity():
+    """mixer.py:228-246,283-286 — the global_mlp_type=1 aggregator (BN+ReLU
+    conv stack over tokens, max-pool, BN'd MLP head). Only C == 256
+    typechecks in the reference: aggregator_mlp declares its first BN as
+    BatchNorm1d(part_latent_dim) on a 256-wide tensor (quirk inherited)."""
+    _install_reference()
+    from difffacto.models.decomposers.mixer import ComponentMixer as RefMixer
+
+    import jax
+    import jax.numpy as jnp
+
+    from test_reference_parity_modules import (
+        _map_feedforward_glu,
+        _map_layernorm,
+        _map_linear,
+        _randomize_bn,
+    )
+    from difffacto_tpu.models.decomposers import ComponentMixer as OurMixer
+
+    C = 256
+    kw = dict(
+        num_anchors=4, part_latent_dim=C, include_attention=True, nheads=4,
+        use_graph_attention=False, include_global_feature=True,
+        global_mlp_type=1, normalize_latent=False, mlp_type=0,
+    )
+    torch.manual_seed(20)
+    rm = RefMixer(**kw).eval()
+    _randomize_bn(rm, 20)
+    om = OurMixer(**kw)
+    lat = np.random.RandomState(21).randn(2, 4, C).astype(np.float32)
+    variables = jax.jit(lambda: om.init(jax.random.PRNGKey(0), jnp.asarray(lat)))()
+
+    def mapper(sd, fill):
+        for i, ci in enumerate((0, 3, 6)):
+            _map_linear(sd, fill, f"mlp.{ci}", f"mlp/Dense_{i}")
+        for n in ("Wq", "Wk", "Wv"):
+            _map_linear(sd, fill, f"attention.{n}", f"attention/{n}")
+        _map_feedforward_glu(sd, fill, "ff", "ff")
+        _map_layernorm(sd, fill, "norm1", "norm1")
+        _map_layernorm(sd, fill, "norm2", "norm2")
+        _map_bn(sd, fill, "aggregator.0", "agg_bn0")
+        _map_conv(sd, fill, "aggregator.2", "agg_c1")
+        _map_bn(sd, fill, "aggregator.3", "agg_bn1")
+        _map_conv(sd, fill, "aggregator.5", "agg_c2")
+        _map_linear(sd, fill, "aggregator_mlp.0", "agg_m1")
+        _map_bn(sd, fill, "aggregator_mlp.1", "agg_mbn1")
+        _map_linear(sd, fill, "aggregator_mlp.3", "agg_m2")
+        _map_bn(sd, fill, "aggregator_mlp.4", "agg_mbn2")
+        _map_linear(sd, fill, "aggregator_mlp.6", "agg_m3")
+
+    V = _params_from(variables, mapper, _sd(rm))
+    with torch.no_grad():
+        tg, tc, tl = rm(torch.from_numpy(lat))
+    jg, jc, jl = om.apply(V, jnp.asarray(lat))
+    np.testing.assert_allclose(np.asarray(jg), tg.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(jc), tc.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(jl), tl.numpy(), atol=2e-4)
+
+
 def test_cbn_delta_prediction_parity_and_forward_defect():
     """modules/cbn.py: the delta-beta/gamma MLPs ARE runnable — golden-test
     them under ingested weights — while forward itself returns a tuple
