@@ -43,6 +43,43 @@ def _to_np(x):
     return np.asarray(x)
 
 
+# ------------------------------------------------------------- mesh support
+# The pairwise sweeps are embarrassingly parallel over rows / pair chunks —
+# the one protocol phase the reference leaves single-device (the O(S*R)
+# python loop, evaluation_utils.py:143-200). With a mesh, each dispatch
+# shard_maps its row block (or pair-chunk block) over the 'data' axis: every
+# device runs the identical per-row scan on its slice, so the sharded
+# matrices are BIT-IDENTICAL to the single-device sweep (pinned by
+# tests/test_metrics_mesh.py) while wall-clock divides by the device count.
+_DEFAULT_EVAL_MESH = None
+
+
+def set_default_eval_mesh(mesh) -> None:
+    """Process-default mesh for the metric sweeps. Runner sets this so the
+    dataset ``evaluate`` hooks (which call evaluate_batches without runner
+    context) shard too; explicit ``mesh=`` args override."""
+    global _DEFAULT_EVAL_MESH
+    _DEFAULT_EVAL_MESH = mesh
+
+
+def _eval_mesh(mesh):
+    """Resolve (explicit mesh | process default) to a flat 1-D ('data',)
+    Mesh over all its devices, or None for the single-device path."""
+    m = mesh if mesh is not None else _DEFAULT_EVAL_MESH
+    if m is None:
+        return None
+    devs = np.asarray(m.devices).reshape(-1)
+    if devs.size <= 1:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(devs, ("data",))
+
+
+def _mesh_key(mesh):
+    return tuple(d.id for d in np.asarray(mesh.devices).reshape(-1)) if mesh is not None else None
+
+
 # --------------------------------------------------------------- pairwise
 _PAIRWISE_KERNELS = {}
 
@@ -61,10 +98,13 @@ def _pairwise_ref_block() -> int:
     return int(_os.environ.get("DIFFFACTO_PAIRWISE_REF_BLOCK", 0))
 
 
-def _get_pairwise_kernel(compute_emd: bool):
+def _get_pairwise_kernel(compute_emd: bool, mesh=None):
     """Module-cached jitted (row block) x (all refs) CD/EMD kernel: a scan
     over rows, each row scanning ref chunks — a fresh closure per call would
     retrace/recompile every pairwise sweep.
+
+    With ``mesh`` the kernel is additionally shard_mapped over the row axis
+    ('data'): refs replicate, each device scans its PAIRWISE_ROWS rows.
 
     The cache key includes the RESOLVED eval-EMD configuration
     (impl + iteration knobs): ``emd_cost_eval`` reads its env vars at trace
@@ -78,12 +118,12 @@ def _get_pairwise_kernel(compute_emd: bool):
     key = (
         compute_emd,
         (resolved_emd_eval_config(), EMD_EPS(), EMD_ITERS()) if compute_emd else None,
+        _mesh_key(mesh),
     )
     fn = _PAIRWISE_KERNELS.get(key)
     if fn is not None:
         return fn
 
-    @jax.jit
     def rows_vs_refs(sample_rows, mask_rows, ref_c, refm_c):
         """(Sc, N, 3) x (Rc, chunk, N, 3) -> cd/emd (Sc, Rc*chunk)."""
 
@@ -109,8 +149,23 @@ def _get_pairwise_kernel(compute_emd: bool):
         _, (cd_rows, emd_rows) = jax.lax.scan(row, 0, (sample_rows, mask_rows))
         return cd_rows, emd_rows
 
-    _PAIRWISE_KERNELS[key] = rows_vs_refs
-    return rows_vs_refs
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        rows_vs_refs = shard_map(
+            rows_vs_refs,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P(), P()),
+            out_specs=(P("data"), P("data")),
+            # no collectives inside; the XLA-auction EMD's while_loop carry
+            # starts unvarying and becomes varying, which the vma checker
+            # rejects — per-device execution is trivially correct here
+            check_vma=False,
+        )
+    fn = jax.jit(rows_vs_refs)
+    _PAIRWISE_KERNELS[key] = fn
+    return fn
 
 
 def pairwise_cd_emd(
@@ -121,12 +176,17 @@ def pairwise_cd_emd(
     mask_sample: Optional[np.ndarray] = None,
     mask_ref: Optional[np.ndarray] = None,
     verbose: bool = False,
+    mesh=None,
 ):
     """All-pairs CD and EMD matrices: (S, N, 3) x (R, N, 3) -> (S, R) each.
 
     Row i holds d(sample_i, ref_j). Masks weight the CD means only, like the
     reference (_pairwise_EMD_CD_, evaluation_utils.py:143-200 — EMD there is
     computed on the full clouds even when masked).
+
+    ``mesh`` (or the process default, set_default_eval_mesh): shard each
+    dispatch's row block over the devices — bit-identical values, wall-clock
+    over the sweep divided by the device count.
     """
     import jax
     import jax.numpy as jnp
@@ -134,7 +194,9 @@ def pairwise_cd_emd(
     S, N, _ = sample.shape
     R = ref.shape[0]
 
-    rows_vs_refs = _get_pairwise_kernel(compute_emd)
+    emesh = _eval_mesh(mesh)
+    n_dev = emesh.size if emesh is not None else 1
+    rows_vs_refs = _get_pairwise_kernel(compute_emd, emesh)
 
     sample_j = jnp.asarray(sample, jnp.float32)
     ref_j = jnp.asarray(ref, jnp.float32)
@@ -160,8 +222,9 @@ def pairwise_cd_emd(
     ref_c = ref_j.reshape(Rp // batch_size, batch_size, N, 3)
     refm_c = mr.reshape(Rp // batch_size, batch_size, N)
 
-    # pad samples to a multiple of the per-dispatch row block
-    rows = max(1, PAIRWISE_ROWS)
+    # pad samples to a multiple of the per-dispatch row block (x devices:
+    # each mesh device scans PAIRWISE_ROWS rows of the dispatch)
+    rows = max(1, PAIRWISE_ROWS) * n_dev
     spad = (-S) % rows
     if spad:
         sidx = jnp.arange(S + spad) % S
@@ -205,11 +268,13 @@ def pairwise_cd_emd(
 PAIRWISE_SELF_CHUNKS = int(_os.environ.get("DIFFFACTO_PAIRWISE_SELF_CHUNKS", 16))
 
 
-def _get_pairlist_kernel(compute_emd: bool):
+def _get_pairlist_kernel(compute_emd: bool, mesh=None):
     """Module-cached jitted pair-list CD/EMD kernel: gathers pair endpoints
     from one device-resident cloud array and scans chunk-of-batch_size pair
     batches, so a triangle sweep pays one dispatch per PAIRWISE_SELF_CHUNKS
-    chunks. Cache-keyed like _get_pairwise_kernel."""
+    chunks. With ``mesh`` the chunk axis is shard_mapped over 'data'
+    (clouds replicate, each device scans its chunks). Cache-keyed like
+    _get_pairwise_kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -219,12 +284,12 @@ def _get_pairlist_kernel(compute_emd: bool):
         "pairlist",
         compute_emd,
         (resolved_emd_eval_config(), EMD_EPS(), EMD_ITERS()) if compute_emd else None,
+        _mesh_key(mesh),
     )
     fn = _PAIRWISE_KERNELS.get(key)
     if fn is not None:
         return fn
 
-    @jax.jit
     def pair_chunks(pts, masks, ii, jj):
         """(S, N, 3) x (S, N) x (C, bs) x (C, bs) -> cd/emd (C, bs)."""
 
@@ -243,8 +308,23 @@ def _get_pairlist_kernel(compute_emd: bool):
         _, (cds, es) = jax.lax.scan(chunk, 0, (ii, jj))
         return cds, es
 
-    _PAIRWISE_KERNELS[key] = pair_chunks
-    return pair_chunks
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        pair_chunks = shard_map(
+            pair_chunks,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+            # no collectives inside; the XLA-auction EMD's while_loop carry
+            # starts unvarying and becomes varying, which the vma checker
+            # rejects — per-device execution is trivially correct here
+            check_vma=False,
+        )
+    fn = jax.jit(pair_chunks)
+    _PAIRWISE_KERNELS[key] = fn
+    return fn
 
 
 def pairwise_self_cd_emd(
@@ -253,6 +333,7 @@ def pairwise_self_cd_emd(
     compute_emd: bool = True,
     mask: Optional[np.ndarray] = None,
     verbose: bool = False,
+    mesh=None,
 ):
     """X-vs-X pairwise CD and EMD: (S, N, 3) -> symmetric (S, S) matrices.
 
@@ -274,7 +355,9 @@ def pairwise_self_cd_emd(
 
     iu, ju = np.triu_indices(S, k=1)
     P = iu.shape[0]
-    kernel = _get_pairlist_kernel(compute_emd)
+    emesh = _eval_mesh(mesh)
+    n_dev = emesh.size if emesh is not None else 1
+    kernel = _get_pairlist_kernel(compute_emd, emesh)
 
     pts_j = jnp.asarray(pts, jnp.float32)
     m = (
@@ -283,7 +366,7 @@ def pairwise_self_cd_emd(
         else jnp.ones((S, N), jnp.float32)
     )
 
-    chunks = max(1, PAIRWISE_SELF_CHUNKS)
+    chunks = max(1, PAIRWISE_SELF_CHUNKS) * n_dev
     per_dispatch = batch_size * chunks
     pad = (-P) % per_dispatch
     ii = np.concatenate([iu, np.zeros(pad, np.int64)]).astype(np.int32)
@@ -374,6 +457,7 @@ def compute_all_metrics(
     mask=None,
     compute_emd: bool = True,
     ref_self_cache: Optional[dict] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """MMD/COV/1-NNA over CD and EMD (evaluation_utils.py:500-541).
 
@@ -391,7 +475,8 @@ def compute_all_metrics(
     sample_pcs, ref_pcs = _to_np(sample_pcs), _to_np(ref_pcs)
     results: Dict[str, float] = {}
     M_rs_cd, M_rs_emd = pairwise_cd_emd(
-        ref_pcs, sample_pcs, batch_size, compute_emd=compute_emd, mask_ref=mask
+        ref_pcs, sample_pcs, batch_size, compute_emd=compute_emd, mask_ref=mask,
+        mesh=mesh,
     )
     for name, M in (("CD", M_rs_cd), ("EMD", M_rs_emd)):
         if not compute_emd and name == "EMD":
@@ -424,11 +509,11 @@ def compute_all_metrics(
     else:
         if symmetric:
             M_rr_cd, M_rr_emd = pairwise_self_cd_emd(
-                ref_pcs, batch_size, compute_emd=compute_emd
+                ref_pcs, batch_size, compute_emd=compute_emd, mesh=mesh
             )
         else:
             M_rr_cd, M_rr_emd = pairwise_cd_emd(
-                ref_pcs, ref_pcs, batch_size, compute_emd=compute_emd
+                ref_pcs, ref_pcs, batch_size, compute_emd=compute_emd, mesh=mesh
             )
         if cache_key is not None:
             ref_self_cache[cache_key] = (M_rr_cd, M_rr_emd)
@@ -438,12 +523,12 @@ def compute_all_metrics(
         M_ss_emd = np.full((S, S), np.inf)
     elif symmetric:
         M_ss_cd, M_ss_emd = pairwise_self_cd_emd(
-            sample_pcs, batch_size, compute_emd=compute_emd, mask=mask
+            sample_pcs, batch_size, compute_emd=compute_emd, mask=mask, mesh=mesh
         )
     else:
         M_ss_cd, M_ss_emd = pairwise_cd_emd(
             sample_pcs, sample_pcs, batch_size, compute_emd=compute_emd,
-            mask_sample=mask, mask_ref=mask,
+            mask_sample=mask, mask_ref=mask, mesh=mesh,
         )
     one_nn_cd = knn(M_rr_cd, M_rs_cd, M_ss_cd, 1, sqrt=False, one_way=one_way)
     results.update({f"1-NN-CD-{k}": v for k, v in one_nn_cd.items() if "acc" in k})
@@ -453,21 +538,83 @@ def compute_all_metrics(
     return results
 
 
-def emd_cd_paired(sample_pcs, ref_pcs, batch_size: int = 32, reduced: bool = True):
-    """Paired reconstruction MMD-CD / MMD-EMD (evaluation_utils.py:106-140)."""
+def _get_paired_kernel(mesh=None):
+    """Module-cached jitted aligned-pairs CD/EMD kernel: scans chunks of
+    batch_size pairs in one dispatch; with ``mesh`` the chunk axis is
+    shard_mapped over 'data'. Cache-keyed like _get_pairwise_kernel."""
+    import jax
+
+    from ..ops.emd import emd_cost_eval, resolved_emd_eval_config
+
+    key = (
+        "paired",
+        (resolved_emd_eval_config(), EMD_EPS(), EMD_ITERS()),
+        _mesh_key(mesh),
+    )
+    fn = _PAIRWISE_KERNELS.get(key)
+    if fn is not None:
+        return fn
+
+    def paired_chunks(sb_c, rb_c):
+        """(C, bs, N, 3) x (C, bs, N, 3) -> cd/emd (C, bs)."""
+
+        def chunk(carry, ab):
+            a, b = ab
+            dl, dr = chamfer_split(a, b)
+            cd = dl.mean(1) + dr.mean(1)
+            e = emd_cost_eval(a, b, EMD_EPS(), EMD_ITERS())
+            return carry, (cd, e)
+
+        _, (cds, es) = jax.lax.scan(chunk, 0, (sb_c, rb_c))
+        return cds, es
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        paired_chunks = shard_map(
+            paired_chunks,
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+            # no collectives inside; the XLA-auction EMD's while_loop carry
+            # starts unvarying and becomes varying, which the vma checker
+            # rejects — per-device execution is trivially correct here
+            check_vma=False,
+        )
+    fn = jax.jit(paired_chunks)
+    _PAIRWISE_KERNELS[key] = fn
+    return fn
+
+
+def emd_cd_paired(sample_pcs, ref_pcs, batch_size: int = 32, reduced: bool = True, mesh=None):
+    """Paired reconstruction MMD-CD / MMD-EMD (evaluation_utils.py:106-140).
+
+    Pairs are independent, so the chunk axis shards over ``mesh`` (or the
+    process default) with bit-identical per-pair values.
+    """
     import jax.numpy as jnp
 
     sample_pcs, ref_pcs = _to_np(sample_pcs), _to_np(ref_pcs)
     N = sample_pcs.shape[0]
+    emesh = _eval_mesh(mesh)
+    n_dev = emesh.size if emesh is not None else 1
+    kernel = _get_paired_kernel(emesh)
+
+    per_dispatch = batch_size * n_dev
+    pad = (-N) % per_dispatch
+    idx = np.arange(N + pad) % N
+    sp = jnp.asarray(sample_pcs[idx], jnp.float32)
+    rp = jnp.asarray(ref_pcs[idx], jnp.float32)
     cds, emds = [], []
-    for s in range(0, N, batch_size):
-        sb = jnp.asarray(sample_pcs[s : s + batch_size], jnp.float32)
-        rb = jnp.asarray(ref_pcs[s : s + batch_size], jnp.float32)
-        dl, dr = chamfer_split(sb, rb)
-        cds.append(_to_np(dl.mean(1) + dr.mean(1)))
-        emds.append(_to_np(emd_cost_eval(sb, rb, EMD_EPS(), EMD_ITERS())))
-    cd = np.concatenate(cds)
-    emd = np.concatenate(emds)
+    for s in range(0, N + pad, per_dispatch):
+        sb = sp[s : s + per_dispatch].reshape(n_dev, batch_size, *sp.shape[1:])
+        rb = rp[s : s + per_dispatch].reshape(n_dev, batch_size, *rp.shape[1:])
+        cd, e = kernel(sb, rb)
+        cds.append(_to_np(cd).reshape(-1))
+        emds.append(_to_np(e).reshape(-1))
+    cd = np.concatenate(cds)[:N]
+    emd = np.concatenate(emds)[:N]
     if reduced:
         return {"MMD-CD": float(cd.mean()), "MMD-EMD": float(emd.mean())}
     return {"MMD-CD": cd, "MMD-EMD": emd}
@@ -668,7 +815,7 @@ def compute_snapping_metric(preds, preds_mask, cls: str = "Chair") -> Dict[str, 
 
 
 def compute_part_metric(
-    preds, preds_mask, refs, refs_mask, batch_size=32, n_class=4
+    preds, preds_mask, refs, refs_mask, batch_size=32, n_class=4, mesh=None
 ) -> Dict[str, float]:
     """Per-part clouds padded/trimmed to 512 -> per-part compute_all_metrics,
     presence-weighted (evaluation_utils.py:423-498)."""
@@ -716,6 +863,7 @@ def compute_part_metric(
             bbox_norm_batch(ref_parts[i]),
             batch_size,
             mask=pred_masks[i],
+            mesh=mesh,
         )
         metrics.append(m)
     keys = next((m.keys() for m in metrics if m), [])
@@ -736,6 +884,7 @@ def evaluate_batches(
     class_choice: str = "Chair",
     using_whole_chair_only: bool = False,
     batch_size: int = 32,
+    mesh=None,
 ):
     """The dataset.evaluate(...) hook logic (shapenet_seg.py:300-396).
 
@@ -800,9 +949,9 @@ def evaluate_batches(
     refs_mask = np.concatenate(refs_mask)
 
     if eval_mode == "ae":
-        metrics = emd_cd_paired(preds, refs, batch_size)
+        metrics = emd_cd_paired(preds, refs, batch_size, mesh=mesh)
     elif eval_mode == "gen_part":
-        metrics = compute_all_metrics(preds, refs, batch_size)
+        metrics = compute_all_metrics(preds, refs, batch_size, mesh=mesh)
         metrics.update(compute_snapping_metric(preds, preds_mask, cls=class_choice))
         metrics.update(
             {
@@ -811,7 +960,9 @@ def evaluate_batches(
             }
         )
         metrics.update(
-            compute_part_metric(preds, preds_mask, refs, refs_mask, batch_size, num_class)
+            compute_part_metric(
+                preds, preds_mask, refs, refs_mask, batch_size, num_class, mesh=mesh
+            )
         )
         metrics.update(
             compute_bbox_metric(
@@ -819,7 +970,7 @@ def evaluate_batches(
             )
         )
     elif eval_mode == "gen":
-        metrics = compute_all_metrics(preds, refs, batch_size)
+        metrics = compute_all_metrics(preds, refs, batch_size, mesh=mesh)
     else:
         raise ValueError(eval_mode)
     return ssave, metrics

@@ -201,6 +201,14 @@ class Runner:
         while n_dev > 1 and bs % n_dev != 0:
             n_dev -= 1
         self.mesh = make_mesh(jax.devices()[:n_dev])
+        # Metric sweeps (pairwise CD/EMD — the 400v400 protocol's dominant
+        # cost) shard their row/pair chunks over this mesh; the process
+        # default also covers the dataset ``evaluate`` hooks, which call
+        # metrics without runner context. Values are bit-identical to the
+        # single-device sweep (tests/test_metrics_mesh.py).
+        from ..metrics.eval import set_default_eval_mesh
+
+        set_default_eval_mesh(self.mesh if self.mesh.size > 1 else None)
         # Optional dp x sp generation mesh (cfg.sp_devices = width of the
         # 'points' axis): the reverse chain shards the point-token axis too,
         # cutting single-shape latency — see parallel/mesh.py.
@@ -584,6 +592,7 @@ class Runner:
         metrics = compute_all_metrics(
             gen, refs, batch_size=32, one_way=False,
             ref_self_cache=self._ref_self_cache,
+            mesh=self.mesh if self.mesh.size > 1 else None,
         )
         self.logger.log({f"gen/{k}": float(v) for k, v in metrics.items()}, step=self.iter)
         return metrics
