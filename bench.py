@@ -138,11 +138,26 @@ def main():
         batch,
     )
 
-    valid = jnp.ones((BATCH, 4), jnp.float32)
+    n_chips = jax.device_count()
+    mesh = None
+    eff_batch = BATCH
+    valid = jnp.ones((eff_batch, 4), jnp.float32)
+    if n_chips > 1:
+        # Aggregate mode (v5e-8 north star): per-chip batch stays BATCH, the
+        # whole mesh generates BATCH * n_chips shapes per step through the
+        # existing dp sharded-generation path. Headline value stays
+        # shapes/sec/CHIP (total / n_chips) so driver parsing and baselines
+        # are comparable; mesh totals ride along as extra fields.
+        from difffacto_tpu.parallel import data_sharding, make_mesh
+
+        mesh = make_mesh(jax.devices())
+        eff_batch = BATCH * n_chips
+        valid = jax.device_put(jnp.ones((eff_batch, 4), jnp.float32), data_sharding(mesh))
 
     def run(seed):
         out = sample_generation(
-            model, variables, jax.random.PRNGKey(seed), BATCH, valid_id=valid
+            model, variables, jax.random.PRNGKey(seed), eff_batch,
+            valid_id=valid, mesh=mesh,
         )
         return out["pred"]
 
@@ -156,8 +171,7 @@ def main():
         run(100 + i).block_until_ready()
     dt = time.perf_counter() - t0
 
-    shapes_per_sec = BATCH * ITERS / dt
-    n_chips = jax.device_count()
+    shapes_per_sec = eff_batch * ITERS / dt
     per_chip = shapes_per_sec / n_chips
     result = {
         "metric": "chair_gen_2048pt_shapes_per_sec_per_chip",
@@ -168,6 +182,9 @@ def main():
         # FLOP count — makes perf regressions attributable (VERDICT r2 #8)
         "mfu": round(_gen_flops_per_shape(mcfg) * per_chip / V5E_PEAK_BF16_FLOPS, 4),
     }
+    if n_chips > 1:
+        result["mesh_shapes_per_sec"] = round(shapes_per_sec, 3)
+        result["mesh_devices"] = n_chips
     print(json.dumps(result))
 
 
