@@ -279,7 +279,11 @@ class BasicTransformerBlock(nn.Module):
                 ).astype(x.dtype)
 
         # ---- unfused path, identical math and parameters
-        xf = x.astype(jnp.float32)
+        # LN statistics in f32 even when cdt is bf16 — or wider if the input
+        # already is (f64 under the x64 train-dynamics goldens; promote_types
+        # keeps production f32/bf16 behavior bit-identical).
+        ln_dt = jnp.promote_types(jnp.float32, x.dtype)
+        xf = x.astype(ln_dt)
         mu = xf.mean(-1, keepdims=True)
         var = ((xf - mu) ** 2).mean(-1, keepdims=True)
         hq = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * norm2_scale + norm2_bias).astype(cdt)
@@ -297,7 +301,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + out.astype(x.dtype)
 
         # GEGLU feed-forward, same params as the kernel path
-        xf = x.astype(jnp.float32)
+        xf = x.astype(ln_dt)
         mu = xf.mean(-1, keepdims=True)
         var = ((xf - mu) ** 2).mean(-1, keepdims=True)
         hf = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * ffn_ln_scale + ffn_ln_bias).astype(cdt)

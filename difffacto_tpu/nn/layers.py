@@ -208,14 +208,15 @@ class DenseParams(nn.Module):
 
 
 def ln_affine(x, scale, bias, eps: float = 1e-5):
-    """LayerNorm with explicit affine params; f32 statistics, eps 1e-5
-    (torch parity), output in x.dtype."""
-    xf = x.astype(jnp.float32)
+    """LayerNorm with explicit affine params; statistics in f32 — or wider if
+    the input already is (f64 under the x64 train-dynamics goldens;
+    promote_types keeps f32/bf16 production behavior bit-identical) — eps
+    1e-5 (torch parity), output in x.dtype."""
+    ln_dt = jnp.promote_types(jnp.float32, x.dtype)
+    xf = x.astype(ln_dt)
     mu = xf.mean(-1, keepdims=True)
     var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-    out = (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(
-        jnp.float32
-    )
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(ln_dt) + bias.astype(ln_dt)
     return out.astype(x.dtype)
 
 

@@ -97,8 +97,10 @@ def make_train_step(
 
     ``trainable_filter(path) -> bool`` freezes parameters outside the filter
     (reference's train_aligner / train_cvae param groups, runner.py:76-94) by
-    zeroing their gradients — optimizer state stays uniform so checkpoints
-    are interchangeable between stages.
+    zeroing their UPDATES after the optimizer transform — the full gradients
+    still flow through the clip so its global norm matches the reference's
+    clip_grad_norm_ over ALL parameters (runner.py:313-316); optimizer state
+    stays uniform so checkpoints are interchangeable between stages.
 
     ``skip_grad_norm`` extends the non-finite guard to finite-but-huge
     gradients: a step whose global grad norm exceeds the threshold is skipped
@@ -167,13 +169,6 @@ def make_train_step(
             metrics = jax.lax.pmean(metrics, reduce_axes)
             if new_stats:
                 new_stats = jax.lax.pmean(new_stats, reduce_axes)
-        if trainable_filter is not None:
-            grads = jax.tree_util.tree_map_with_path(
-                lambda path, g: g
-                if trainable_filter(tuple(getattr(p, "key", str(p)) for p in path))
-                else jnp.zeros_like(g),
-                grads,
-            )
         # Non-finite guard: one bad batch/step must not poison a multi-day
         # run — if the loss or any grad is non-finite, skip the whole update
         # (params, optimizer state, batch stats all keep their old values)
@@ -189,6 +184,21 @@ def make_train_step(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
         updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
+        if trainable_filter is not None:
+            # Reference train_aligner semantics (runner.py:75-94, 313-316):
+            # backward fills grads for EVERY param, clip_grad_norm_ scales by
+            # the global norm over ALL of them, and only the selected group
+            # is stepped. So the FULL grads go through tx (the clip inside tx
+            # sees the reference-faithful global norm) and the frozen params'
+            # UPDATES are zeroed here — not their grads (zeroing grads first
+            # shrank the clip norm, a measured delta vs the reference's own
+            # loop, tests/test_reference_parity_trainloop.py).
+            updates = jax.tree_util.tree_map_with_path(
+                lambda path, u: u
+                if trainable_filter(tuple(getattr(p, "key", str(p)) for p in path))
+                else jnp.zeros_like(u),
+                updates,
+            )
         new_params = optax.apply_updates(state.params, updates)
         keep_old = lambda new, old: jax.tree_util.tree_map(
             lambda n, o: jnp.where(finite, n, o), new, old
