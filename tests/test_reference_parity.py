@@ -78,19 +78,99 @@ def _install_reference():
 
     pu.gather_operation = gather_operation
     pu.furthest_point_sample = furthest_point_sample
-    pm = types.ModuleType("pointnet2_ops.pointnet2_modules")
 
-    class _SAStub(torch.nn.Module):  # imported by encoders/pointnet2.py only
-        def __init__(self, *a, **k):
+    def grouping_operation(features, idx):
+        # (B, C, N) grouped by (B, S, K) -> (B, C, S, K); semantics of
+        # pointnet2_ops_lib/_ext-src/src/group_points_gpu.cu.
+        B, C, _ = features.shape
+        S, Kn = idx.shape[1], idx.shape[2]
+        flat = idx.reshape(B, 1, S * Kn).expand(-1, C, -1).long()
+        return torch.gather(features, 2, flat).reshape(B, C, S, Kn)
+
+    def ball_query(radius, nsample, xyz, new_xyz):
+        # The reference's OWN pure-torch spec for the CUDA ball query
+        # (python/difffacto/models/encoders/pointnet2_utils.py:84-105):
+        # first nsample in-radius indices in ascending index order, empty
+        # slots filled with the first hit.
+        B, N, _ = xyz.shape
+        S = new_xyz.shape[1]
+        group_idx = torch.arange(N, dtype=torch.long).view(1, 1, N).repeat(B, S, 1)
+        sqrdists = ((new_xyz[:, :, None] - xyz[:, None]) ** 2).sum(-1)
+        group_idx[sqrdists > radius ** 2] = N
+        group_idx = group_idx.sort(dim=-1)[0][:, :, :nsample]
+        group_first = group_idx[:, :, 0].view(B, S, 1).repeat(1, 1, nsample)
+        mask = group_idx == N
+        group_idx[mask] = group_first[mask]
+        return group_idx.int()
+
+    pu.grouping_operation = grouping_operation
+    pu.ball_query = ball_query
+
+    class QueryAndGroup(torch.nn.Module):
+        """pointnet2_ops/pointnet2_utils.py:279-333, over the pure-torch ops."""
+
+        def __init__(self, radius, nsample, use_xyz=True):
             super().__init__()
+            self.radius, self.nsample, self.use_xyz = radius, nsample, use_xyz
 
-    pm.PointnetSAModuleMSG = _SAStub
-    pm.PointnetSAModule = _SAStub
+        def forward(self, xyz, new_xyz, features=None):
+            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+            grouped_xyz = grouping_operation(xyz.transpose(1, 2).contiguous(), idx)
+            grouped_xyz = grouped_xyz - new_xyz.transpose(1, 2).unsqueeze(-1)
+            if features is not None:
+                grouped_features = grouping_operation(features, idx)
+                if self.use_xyz:
+                    return torch.cat([grouped_xyz, grouped_features], dim=1)
+                return grouped_features
+            assert self.use_xyz
+            return grouped_xyz
+
+    class GroupAll(torch.nn.Module):
+        """pointnet2_ops/pointnet2_utils.py:336-371."""
+
+        def __init__(self, use_xyz=True):
+            super().__init__()
+            self.use_xyz = use_xyz
+
+        def forward(self, xyz, new_xyz, features=None):
+            grouped_xyz = xyz.transpose(1, 2).unsqueeze(2)
+            if features is not None:
+                grouped_features = features.unsqueeze(2)
+                if self.use_xyz:
+                    return torch.cat([grouped_xyz, grouped_features], dim=1)
+                return grouped_features
+            return grouped_xyz
+
+    pu.QueryAndGroup = QueryAndGroup
+    pu.GroupAll = GroupAll
     p2.pointnet2_utils = pu
-    p2.pointnet2_modules = pm
     sys.modules["pointnet2_ops"] = p2
     sys.modules["pointnet2_ops.pointnet2_utils"] = pu
-    sys.modules["pointnet2_ops.pointnet2_modules"] = pm
+    # The REAL SA-module code (pointnet2_ops_lib/pointnet2_ops/
+    # pointnet2_modules.py) over the pure-torch geometry above — its only
+    # import is `from pointnet2_ops import pointnet2_utils`, satisfied by
+    # the stub, so PointNet2SSG/MSG run the reference's own composition.
+    import importlib.util
+
+    _pm_path = "/root/reference/pointnet2_ops_lib/pointnet2_ops/pointnet2_modules.py"
+    if os.path.isfile(_pm_path):
+        spec = importlib.util.spec_from_file_location(
+            "pointnet2_ops.pointnet2_modules", _pm_path
+        )
+        pm = importlib.util.module_from_spec(spec)
+        sys.modules["pointnet2_ops.pointnet2_modules"] = pm
+        spec.loader.exec_module(pm)
+    else:  # no reference checkout: keep a buildable stub
+        pm = types.ModuleType("pointnet2_ops.pointnet2_modules")
+
+        class _SAStub(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        pm.PointnetSAModuleMSG = _SAStub
+        pm.PointnetSAModule = _SAStub
+        sys.modules["pointnet2_ops.pointnet2_modules"] = pm
+    p2.pointnet2_modules = pm
     for missing in ("chamfer", "emd", "torchdiffeq", "plyfile"):
         sys.modules.setdefault(missing, types.ModuleType(missing))
     sys.modules["torchdiffeq"].odeint_adjoint = None
