@@ -1,0 +1,112 @@
+"""Car-scale (8192-pt) eval rehearsal on the real TPU.
+
+Measures the n>2048 paths no previous round timed (VERDICT r4 weak #5):
+
+1. hybrid EMD at n=8192 — the UNCACHED-distance kernel branch
+   (ops/emd_pallas.py: the (n, n) bf16 VMEM cache only fits up to 2048, so
+   8k clouds recompute distance tiles every sweep);
+2. ``emd_cd_paired`` at 8192 — the ae-mode paired eval math at full car
+   resolution (reference runs ae eval after FPS->2048, but the 8k path must
+   have a number);
+3. ``chamfer_split_tiled`` at 8192 (the car-config chamfer path);
+4. ``evaluate_batches(eval_mode='ae'|'gen')`` end-to-end at car scale
+   (32 shapes x 8192 pts): FPS 8192->2048 + the 2048-pt protocol metrics —
+   the shape `configs/gen_car.py:90` actually evaluates.
+
+Timing rules (CLAUDE.md): every timed sweep derives its inputs from the
+previous device result so the tunnel content-cache cannot alias dispatches.
+
+Run on the real TPU:  python tools/car_eval_rehearsal.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from difffacto_tpu.utils import install_tool_watchdog
+
+install_tool_watchdog()
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from difffacto_tpu.metrics.eval import EMD_EPS, EMD_ITERS, emd_cd_paired, evaluate_batches
+    from difffacto_tpu.ops.chamfer import chamfer_split_tiled
+    from difffacto_tpu.ops.emd import emd_cost_eval
+
+    from difffacto_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    print("backend:", jax.default_backend())
+    rng = np.random.RandomState(0)
+    n = 8192
+
+    # ---- 1. hybrid EMD at 8192 (uncached-distance branch) ----------------
+    B = 2
+    a = jnp.asarray((rng.randn(B, n, 3) * 0.3).astype(np.float32))
+    b = jnp.asarray((rng.randn(B, n, 3) * 0.3).astype(np.float32))
+    f = jax.jit(lambda x, y: emd_cost_eval(x, y, EMD_EPS(), EMD_ITERS()))
+    cost = f(a, b)
+    cost.block_until_ready()  # compile
+    sweeps = 3
+    t0 = time.perf_counter()
+    for _ in range(sweeps):
+        # derive fresh inputs from the previous result (content-cache rule)
+        a = a + (cost[:, None, None] * 1e-6)
+        cost = f(a, b)
+    cost.block_until_ready()
+    dt = time.perf_counter() - t0
+    ms_pair = dt / (sweeps * B) * 1e3
+    print(f"EMD n=8192 (uncached branch): {ms_pair:.1f} ms/pair "
+          f"(mean cost {float(cost.mean()):.4f})")
+
+    # ---- 2. paired ae eval at full 8192 ----------------------------------
+    S = 16
+    preds = (rng.randn(S, n, 3) * 0.3).astype(np.float32)
+    refs = preds + (rng.randn(S, n, 3) * 0.02).astype(np.float32)
+    t0 = time.perf_counter()
+    m = emd_cd_paired(preds, refs, batch_size=4)
+    dt = time.perf_counter() - t0
+    print(f"emd_cd_paired @8192, {S} pairs: {dt:.1f} s e2e incl compile "
+          f"({dt / S * 1e3:.1f} ms/pair) -> {m}")
+
+    # ---- 3. chamfer_split_tiled at 8192 ----------------------------------
+    x = jnp.asarray(preds[:8])
+    y = jnp.asarray(refs[:8])
+    dl, dr = chamfer_split_tiled(x, y)
+    dl.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x = x + dl.mean() * 1e-6
+        dl, dr = chamfer_split_tiled(x, y)
+    dl.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(f"chamfer_split_tiled @8192: {dt / (3 * 8) * 1e3:.2f} ms/pair")
+
+    # ---- 4. evaluate_batches at car scale (FPS 8192->2048 + metrics) -----
+    S = 32
+    pred = (rng.randn(S, n, 3) * 0.3).astype(np.float32)
+    ref = pred + (rng.randn(S, n, 3) * 0.05).astype(np.float32)
+    seg = np.repeat(np.arange(4), n // 4)[None].repeat(S, 0).astype(np.int64)
+    batch = {
+        "pred": pred, "pred_seg_mask": seg, "input_ref": ref, "ref_seg_mask": seg,
+        "shift": np.zeros((S, 1, 3), np.float32),
+        "scale": np.ones((S, 1, 1), np.float32),
+        "present": np.ones((S, 4), np.float32),
+    }
+    for mode in ("ae", "gen"):
+        t0 = time.perf_counter()
+        _, metrics = evaluate_batches([dict(batch)], 0, eval_mode=mode, batch_size=8)
+        dt = time.perf_counter() - t0
+        keys = {k: round(float(v), 5) for k, v in list(metrics.items())[:4]}
+        print(f"evaluate_batches mode={mode} @ {S}x8192: {dt:.1f} s e2e -> {keys}")
+
+
+if __name__ == "__main__":
+    main()
