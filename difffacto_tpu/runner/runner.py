@@ -205,10 +205,19 @@ class Runner:
         # cost) shard their row/pair chunks over this mesh; the process
         # default also covers the dataset ``evaluate`` hooks, which call
         # metrics without runner context. Values are bit-identical to the
-        # single-device sweep (tests/test_metrics_mesh.py).
+        # single-device sweep (tests/test_metrics_mesh.py). Gated on REAL
+        # TPU devices: on a virtual multi-device CPU host (the test mesh)
+        # sharding buys no wall-clock but pays padded dispatches and fresh
+        # sharded-kernel compiles in every runner test — the sharded path is
+        # covered there by the explicit mesh= tests and the driver dryrun.
         from ..metrics.eval import set_default_eval_mesh
 
-        set_default_eval_mesh(self.mesh if self.mesh.size > 1 else None)
+        self._eval_metric_mesh = (
+            self.mesh
+            if self.mesh.size > 1 and jax.default_backend() == "tpu"
+            else None
+        )
+        set_default_eval_mesh(self._eval_metric_mesh)
         # Optional dp x sp generation mesh (cfg.sp_devices = width of the
         # 'points' axis): the reverse chain shards the point-token axis too,
         # cutting single-shape latency — see parallel/mesh.py.
@@ -592,7 +601,7 @@ class Runner:
         metrics = compute_all_metrics(
             gen, refs, batch_size=32, one_way=False,
             ref_self_cache=self._ref_self_cache,
-            mesh=self.mesh if self.mesh.size > 1 else None,
+            mesh=getattr(self, "_eval_metric_mesh", None),
         )
         self.logger.log({f"gen/{k}": float(v) for k, v in metrics.items()}, step=self.iter)
         return metrics

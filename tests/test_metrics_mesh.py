@@ -7,6 +7,8 @@ per-row scan program on its slice, so the sharded matrices must be
 BIT-identical (np.array_equal, not allclose) to the single-device ones.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -22,6 +24,23 @@ from difffacto_tpu.metrics.eval import (
 from difffacto_tpu.parallel import make_mesh
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fast_emd():
+    """Bit-identity doesn't need eval-grade EMD accuracy, and the sharded
+    dispatches pad rows/chunks up to 8x the real work — which executes
+    SEQUENTIALLY on the single-core CI host. A small iteration budget keeps
+    this file fast; EMD_ITERS() is read per call and folded into the kernel
+    cache keys, so the override takes effect immediately and is scoped to
+    this module's tests (restored on teardown)."""
+    old = os.environ.get("DIFFFACTO_EMD_ITERS")
+    os.environ["DIFFFACTO_EMD_ITERS"] = "60"
+    yield
+    if old is None:
+        os.environ.pop("DIFFFACTO_EMD_ITERS", None)
+    else:
+        os.environ["DIFFFACTO_EMD_ITERS"] = old
+
+
 @pytest.fixture(scope="module")
 def mesh8():
     assert len(jax.devices()) == 8, "conftest should provide 8 virtual CPU devices"
@@ -34,18 +53,18 @@ def _clouds(s, n, seed=0):
 
 
 def test_pairwise_cd_emd_mesh_bit_identical(mesh8):
-    sample = _clouds(10, 64, 0)
-    ref = _clouds(7, 64, 1)
-    mask = (np.arange(64)[None] < 60).astype(np.float32).repeat(10, 0)
+    sample = _clouds(6, 32, 0)
+    ref = _clouds(5, 32, 1)
+    mask = (np.arange(32)[None] < 30).astype(np.float32).repeat(6, 0)
     cd0, emd0 = pairwise_cd_emd(sample, ref, batch_size=4, mask_sample=mask)
     cd1, emd1 = pairwise_cd_emd(sample, ref, batch_size=4, mask_sample=mask, mesh=mesh8)
-    assert cd0.shape == cd1.shape == (10, 7)
+    assert cd0.shape == cd1.shape == (6, 5)
     assert np.array_equal(cd0, cd1)
     assert np.array_equal(emd0, emd1)
 
 
 def test_pairwise_self_cd_emd_mesh_bit_identical(mesh8):
-    pts = _clouds(9, 64, 2)
+    pts = _clouds(7, 32, 2)
     cd0, emd0 = pairwise_self_cd_emd(pts, batch_size=4)
     cd1, emd1 = pairwise_self_cd_emd(pts, batch_size=4, mesh=mesh8)
     assert np.array_equal(cd0, cd1)
@@ -53,8 +72,8 @@ def test_pairwise_self_cd_emd_mesh_bit_identical(mesh8):
 
 
 def test_emd_cd_paired_mesh_bit_identical(mesh8):
-    a = _clouds(11, 64, 3)
-    b = _clouds(11, 64, 4)
+    a = _clouds(9, 32, 3)
+    b = _clouds(9, 32, 4)
     r0 = emd_cd_paired(a, b, batch_size=4, reduced=False)
     r1 = emd_cd_paired(a, b, batch_size=4, reduced=False, mesh=mesh8)
     assert np.array_equal(r0["MMD-CD"], r1["MMD-CD"])
@@ -62,8 +81,8 @@ def test_emd_cd_paired_mesh_bit_identical(mesh8):
 
 
 def test_compute_all_metrics_mesh_identical(mesh8):
-    gen = _clouds(8, 64, 5)
-    ref = _clouds(6, 64, 6)
+    gen = _clouds(6, 32, 5)
+    ref = _clouds(5, 32, 6)
     m0 = compute_all_metrics(gen, ref, batch_size=4)
     m1 = compute_all_metrics(gen, ref, batch_size=4, mesh=mesh8)
     assert m0.keys() == m1.keys()
@@ -74,7 +93,7 @@ def test_compute_all_metrics_mesh_identical(mesh8):
 def test_default_eval_mesh_routes_and_resets(mesh8):
     """set_default_eval_mesh shards calls with no explicit mesh (the dataset
     evaluate-hook path), and explicit/None behavior is restored after."""
-    pts = _clouds(6, 64, 7)
+    pts = _clouds(5, 32, 7)
     cd0, emd0 = pairwise_self_cd_emd(pts, batch_size=4)
     try:
         set_default_eval_mesh(mesh8)

@@ -7,6 +7,23 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fast_emd():
+    """These are END-TO-END tests (train -> CIMLE cache -> val -> gen ->
+    metrics -> ckpt); the metric values are sanity checks, not goldens, yet
+    the CPU auction EMD at the conftest's 300 iterations dominated the file
+    (test_runner_end_to_end: 208 s -> 35 s at 16 iters, measured). EMD_ITERS
+    is read per call and folded into the metric-kernel cache keys, so the
+    override takes effect immediately and is restored on teardown."""
+    old = os.environ.get("DIFFFACTO_EMD_ITERS")
+    os.environ["DIFFFACTO_EMD_ITERS"] = "16"
+    yield
+    if old is None:
+        os.environ.pop("DIFFFACTO_EMD_ITERS", None)
+    else:
+        os.environ["DIFFFACTO_EMD_ITERS"] = old
+
+
 @pytest.fixture()
 def tiny_cfg(tmp_path):
     from difffacto_tpu.config import Config
