@@ -14,4 +14,8 @@ name = "bench_protocol_xl"
 work_dir = "work_dirs/bench_protocol_xl"
 
 model_only = True
-resume_path = "work_dirs/bench_train_xl_stage2/checkpoints/ckpt_700"
+# best checkpoint by the 64-gen 1-NN-CD curve (tools/eval_ckpt_curve.py):
+# r3/r4 runs bottomed at ckpt_700 (0.808); the r5 retrain (reference-faithful
+# full-norm clip for the aligner group — inactive here, grad norms ~0.3 vs
+# max_norm 10) bottomed at ckpt_500 (0.804).
+resume_path = "work_dirs/bench_train_xl_stage2/checkpoints/ckpt_500"
