@@ -48,23 +48,38 @@ def main():
     n = 8192
 
     # ---- 1. hybrid EMD at 8192 (uncached-distance branch) ----------------
-    B = 2
-    a = jnp.asarray((rng.randn(B, n, 3) * 0.3).astype(np.float32))
-    b = jnp.asarray((rng.randn(B, n, 3) * 0.3).astype(np.float32))
-    f = jax.jit(lambda x, y: emd_cost_eval(x, y, EMD_EPS(), EMD_ITERS()))
-    cost = f(a, b)
-    cost.block_until_ready()  # compile
-    sweeps = 3
-    t0 = time.perf_counter()
-    for _ in range(sweeps):
-        # derive fresh inputs from the previous result (content-cache rule)
-        a = a + (cost[:, None, None] * 1e-6)
-        cost = f(a, b)
-    cost.block_until_ready()
-    dt = time.perf_counter() - t0
-    ms_pair = dt / (sweeps * B) * 1e3
-    print(f"EMD n=8192 (uncached branch): {ms_pair:.1f} ms/pair "
-          f"(mean cost {float(cost.mean()):.4f})")
+    # In-dispatch chained loop + host-synced rounds (see tools/chamfer8k_ab.py
+    # and CLAUDE.md): standalone repeated dispatches through the tunnel
+    # content-cache (the first version of this tool "measured" 216.6 ms/pair
+    # = exactly two per-dispatch overheads) and sub-ulp perturbations are
+    # bit-identical inputs.
+    B, LOOP = 2, 4
+    a0 = jnp.asarray((rng.randn(B, n, 3) * 0.3).astype(np.float32))
+    b0 = jnp.asarray((rng.randn(B, n, 3) * 0.3).astype(np.float32))
+
+    @jax.jit
+    def emd_loop(x, y):
+        def body(carry, _):
+            xs, acc = carry
+            c = emd_cost_eval(xs, y, EMD_EPS(), EMD_ITERS())
+            m = c.mean()
+            return (x * (1.0 + m * 1e-3), acc + m), None
+
+        (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), None, length=LOOP)
+        return acc
+
+    acc = emd_loop(a0, b0)
+    acc.block_until_ready()  # compile
+    times = []
+    a = a0
+    for _ in range(3):
+        a = a * (1.0 + float(acc) * 1e-3)
+        t0 = time.perf_counter()
+        acc = emd_loop(a, b0)
+        acc.block_until_ready()
+        times.append((time.perf_counter() - t0) / (LOOP * B) * 1e3)
+    print(f"EMD n=8192 (uncached branch): {min(times[1:]):.1f} ms/pair steady "
+          f"(rounds {[round(t, 1) for t in times]}, mean cost {float(acc) / LOOP:.4f})")
 
     # ---- 2. paired ae eval at full 8192 ----------------------------------
     S = 16
@@ -76,18 +91,34 @@ def main():
     print(f"emd_cd_paired @8192, {S} pairs: {dt:.1f} s e2e incl compile "
           f"({dt / S * 1e3:.1f} ms/pair) -> {m}")
 
-    # ---- 3. chamfer_split_tiled at 8192 ----------------------------------
-    x = jnp.asarray(preds[:8])
-    y = jnp.asarray(refs[:8])
-    dl, dr = chamfer_split_tiled(x, y)
-    dl.block_until_ready()
-    t0 = time.perf_counter()
+    # ---- 3. chamfer_split_tiled at 8192 (see tools/chamfer8k_ab.py for the
+    # full A/B: ~0.95 ms/pair device-true at 8x8192x8192) ------------------
+    x0c = jnp.asarray(preds[:8])
+    y0c = jnp.asarray(refs[:8])
+
+    @jax.jit
+    def cd_loop(x, y):
+        def body(carry, _):
+            xs, acc = carry
+            dl, dr = chamfer_split_tiled(xs, y)
+            m = dl.mean() + dr.mean()
+            return (x * (1.0 + m * 1e-3), acc + m), None
+
+        (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), None, length=16)
+        return acc
+
+    acc = cd_loop(x0c, y0c)
+    acc.block_until_ready()
+    times = []
+    xc = x0c
     for _ in range(3):
-        x = x + dl.mean() * 1e-6
-        dl, dr = chamfer_split_tiled(x, y)
-    dl.block_until_ready()
-    dt = time.perf_counter() - t0
-    print(f"chamfer_split_tiled @8192: {dt / (3 * 8) * 1e3:.2f} ms/pair")
+        xc = xc * (1.0 + float(acc) * 1e-3)
+        t0 = time.perf_counter()
+        acc = cd_loop(xc, y0c)
+        acc.block_until_ready()
+        times.append((time.perf_counter() - t0) / (16 * 8) * 1e3)
+    print(f"chamfer_split_tiled @8192: {min(times[1:]):.2f} ms/pair steady "
+          f"(rounds {[round(t, 2) for t in times]})")
 
     # ---- 4. evaluate_batches at car scale (FPS 8192->2048 + metrics) -----
     S = 32
