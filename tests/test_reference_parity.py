@@ -1325,3 +1325,100 @@ def test_lgan_mmd_cov_matches_reference(ref):
             np.testing.assert_allclose(
                 jr[key], float(tr[key]), rtol=1e-6, err_msg=f"{key}@{thresh}"
             )
+
+
+def test_cimle_sample_noise_selection_parity(ref):
+    """CIMLE noise caching: the reference's own ``encoder.sample_noise``
+    (part_encoders.py:389-415 — best-of-num by fit loss over reparameterized
+    codes and aligner outputs) and the model-level ``cache_noise`` gather
+    (anchor_gen.py:805-811) vs our ``sample_noise_candidates`` +
+    ``select_best_noise`` under identical injected draws. This is the
+    mechanism the Runner replays every cimle_cache_interval epochs — the
+    selection ids must agree, not just the scores."""
+    import jax
+    import jax.numpy as jnp
+
+    import difffacto.models.encoders.part_encoders as ref_pe
+    from difffacto_tpu.models import part_encoder as our_pe
+    from difffacto_tpu.models.anchor_diff import AnchorDiffAE, select_best_noise
+
+    rm = ref["ref_model"].eval()
+    seg, onehot = ref["seg"], ref["onehot"]
+    Z_ = int(ref["model_cfg"]["encoder"]["encoder"]["zdim"])
+    noise_dim = int(rm.encoder.part_aligner.noise_dim)
+    num = 6
+
+    rng = np.random.RandomState(23)
+    inp = (rng.randn(B, N, 3) * 0.3).astype(np.float32)
+    part_shift = (rng.randn(B, K, 3) * 0.1).astype(np.float32)
+    part_scale = (np.abs(rng.randn(B, K, 3)) * 0.2 + 0.8).astype(np.float32)
+    eps_reparam = rng.randn(B, K, Z_).astype(np.float32)
+    noise_inj = rng.randn(B * num, noise_dim).astype(np.float32)
+
+    pcds = {
+        "input": torch.from_numpy(inp),
+        "ref": torch.from_numpy(inp),
+        "ref_seg_mask": torch.from_numpy(seg.astype(np.int64)),
+        "attn_map": torch.from_numpy(onehot),
+        "present": torch.ones(B, K),
+        "part_shift": torch.from_numpy(part_shift.transpose(0, 2, 1).copy()),
+        "part_scale": torch.from_numpy(part_scale.transpose(0, 2, 1).copy()),
+    }
+    saved = (ref_pe.reparameterize_gaussian, torch.randn)
+    ref_pe.reparameterize_gaussian = lambda mean, logvar: (
+        mean + torch.exp(0.5 * logvar) * torch.from_numpy(eps_reparam)
+    )
+    torch.randn = lambda *shape, **k: torch.from_numpy(noise_inj.reshape(shape))
+    saved_num = rm.sample_noise_num
+    rm.sample_noise_num = num  # cache_noise draws self.sample_noise_num
+    try:
+        with torch.no_grad():
+            tnoise, tid = rm.encoder.sample_noise(pcds, "cpu", num)
+            tselected = rm.cache_noise(pcds, "cpu", eval_whole=False)
+    finally:
+        ref_pe.reparameterize_gaussian, torch.randn = saved
+        rm.sample_noise_num = saved_num
+    assert tnoise.shape == (B, num, noise_dim)
+
+    batch = {
+        "input": jnp.asarray(inp),
+        "ref": jnp.asarray(inp),
+        "ref_seg_mask": jnp.asarray(seg, jnp.int32),
+        "seg_mask": jnp.asarray(seg, jnp.int32),
+        "ref_attn_map": jnp.asarray(onehot),
+        "attn_map": jnp.asarray(onehot),
+        "present": jnp.ones((B, K), jnp.float32),
+        "part_shift": jnp.asarray(part_shift),
+        "part_scale": jnp.asarray(part_scale),
+    }
+    saved_j = (our_pe.reparameterize_gaussian, jax.random.normal)
+    orig_normal = jax.random.normal
+    our_pe.reparameterize_gaussian = lambda r, mean, logvar: (
+        mean + jnp.exp(0.5 * logvar) * jnp.asarray(eps_reparam)
+    )
+
+    def fake_normal(key, shape, *a, **k):
+        if tuple(shape) == (B * num, noise_dim):
+            return jnp.asarray(noise_inj)
+        return orig_normal(key, shape, *a, **k)
+
+    jax.random.normal = fake_normal
+    try:
+        jnoise, jfit = ref["model"].apply(
+            _V(ref), batch, num,
+            method=AnchorDiffAE.sample_noise_candidates,
+            rngs={"sample": jax.random.PRNGKey(0)},
+        )
+        _, jbest, jselected = select_best_noise(
+            ref["model"], _V(ref), jax.random.PRNGKey(0), batch, num=num
+        )
+    finally:
+        our_pe.reparameterize_gaussian, jax.random.normal = saved_j
+
+    np.testing.assert_allclose(np.asarray(jnoise), tnoise.numpy(), atol=1e-6)
+    # selection ids must match exactly; the fit scores to f32 tolerance
+    np.testing.assert_array_equal(np.asarray(jbest), tid.numpy())
+    np.testing.assert_allclose(
+        np.asarray(jselected), tselected.numpy(), atol=1e-6,
+        err_msg="cache_noise selected-noise gather diverged",
+    )
